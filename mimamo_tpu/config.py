@@ -1,0 +1,127 @@
+"""Frozen configuration dataclasses for the MIMAMO-TPU framework.
+
+The reference (wtomin/MIMAMO-Net) scatters its hyperparameters across
+argparse defaults and constructor kwargs (``save_size=112``, ``phase_size=48``,
+``num_phase=12`` — see SURVEY.md §5 "Config / flag system"; the reference
+mount is empty, so values follow SURVEY.md Appendix B defaults). Here every
+knob lives in one frozen, hashable dataclass tree so configs can be closed
+over by ``jax.jit`` as static arguments.
+
+Conventions pinned for parity (SURVEY.md Appendix A):
+  * Pyramid radial coordinate normalized so the spectrum edge midpoint is
+    r = pi; raised-cosine transitions are one octave wide in log2(r).
+  * Band at scale index ``s`` (0-based) lives on a grid of spatial size
+    (H / 2**s, W / 2**s) — scale 0 is full resolution, matching the
+    reference's recursive frequency-domain cropping.
+  * Phase diff: ``angle(c_t * conj(c_{t-1}))`` (product form), wrapped to
+    (-pi, pi], resized to ``phase_size`` with bilinear interpolation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class PyramidSpec:
+    """Complex steerable pyramid configuration (SURVEY.md Appendix A.1)."""
+
+    height: int = 3           # number of oriented band scales S
+    orientations: int = 4     # number of angular bands K
+    input_size: Tuple[int, int] = (112, 112)  # H, W of grayscale crops
+    # Include the (-i)**(K-1) analytic-band constant (SCFpyr convention).
+    complex_factor: bool = True
+
+    def band_shape(self, scale: int) -> Tuple[int, int]:
+        h, w = self.input_size
+        return h >> scale, w >> scale
+
+    def __post_init__(self):
+        h, w = self.input_size
+        if h % (1 << self.height) or w % (1 << self.height):
+            raise ValueError(
+                f"input_size {self.input_size} must be divisible by "
+                f"2**height = {1 << self.height}"
+            )
+
+
+@dataclasses.dataclass(frozen=True)
+class PhaseSpec:
+    """Inter-frame phase-difference (micro-motion) configuration (A.2)."""
+
+    phase_size: int = 48       # output resolution of each phase-diff map
+    # num_phase channels = pyramid.height * pyramid.orientations (12 default)
+    amplitude_weighting: bool = False  # SURVEY.md App. B item 4: default off
+
+
+@dataclasses.dataclass(frozen=True)
+class BackboneSpec:
+    """ResNet-50 FER+ appearance stream (SURVEY.md Appendix A.5)."""
+
+    input_size: int = 224
+    feature_dim: int = 2048    # pool5 embedding width
+    num_classes: int = 8       # FER+ emotion classes (classifier head kept
+    #                            for checkpoint parity; unused downstream)
+    # MatConvNet-converted preprocessing: float32 pixels in 0..255, per-
+    # channel mean subtraction, NO /255, NO std. Mean must be overwritten
+    # from real checkpoint metadata when assets are available (SURVEY A.5).
+    mean_rgb: Tuple[float, float, float] = (131.0912, 103.8827, 91.4953)
+    channel_order: str = "rgb"  # "rgb" | "bgr"; set from checkpoint metadata
+    dtype: str = "float32"      # compute dtype: "float32" | "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class TemporalSpec:
+    """Two-stream GRU temporal model."""
+
+    micro_cnn_features: Tuple[int, ...] = (64, 128)  # conv widths
+    micro_embed_dim: int = 256
+    macro_embed_dim: int = 256   # projection of the 2048-d feature
+    gru_hidden: int = 256        # per-stream GRU hidden size
+    fusion_hidden: int = 256
+    num_outputs: int = 2         # (valence, arousal)
+    output_activation: str = "linear"  # "linear" | "tanh"
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class ClipSpec:
+    """Clip / window hyperparameters (north-star: 48-frame clips)."""
+
+    clip_len: int = 48
+    stride: int = 24            # sliding-window stride (clip_len // 2)
+    crop_size: int = 112        # aligned face-crop size (reference: 112)
+    fps: Optional[float] = None  # metadata only
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainSpec:
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.0
+    batch_size: int = 4          # clips per step per replica
+    epochs: int = 20
+    loss: str = "ccc"            # "ccc" | "ccc+mse"
+    mse_weight: float = 0.0
+    seed: int = 0
+    freeze_backbone: bool = True  # reference trains on cached features
+
+
+@dataclasses.dataclass(frozen=True)
+class MimamoConfig:
+    """Top-level config for the full pipeline."""
+
+    pyramid: PyramidSpec = PyramidSpec()
+    phase: PhaseSpec = PhaseSpec()
+    backbone: BackboneSpec = BackboneSpec()
+    temporal: TemporalSpec = TemporalSpec()
+    clip: ClipSpec = ClipSpec()
+    train: TrainSpec = TrainSpec()
+    use_pallas: bool = True      # fused phase kernel on TPU (auto-fallback)
+
+    @property
+    def num_phase(self) -> int:
+        return self.pyramid.height * self.pyramid.orientations
+
+
+DEFAULT_CONFIG = MimamoConfig()

@@ -1,0 +1,63 @@
+"""Micro-motion (phase diff) tests vs the NumPy oracle + torch resize."""
+
+import numpy as np
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from mimamo_tpu.config import PhaseSpec, PyramidSpec
+from mimamo_tpu import phase
+
+from oracles import pyramid_np
+
+
+PYR = PyramidSpec(height=3, orientations=4, input_size=(64, 64))
+PH = PhaseSpec(phase_size=48)
+
+
+def _clip(t=5, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((t, 64, 64)).astype(np.float32) * 40 + 120
+
+
+class TestMicroMotion:
+    def test_matches_oracle(self):
+        frames = _clip()
+        got = np.asarray(phase.micro_motion_features(
+            jnp.asarray(frames[None]), PYR, PH))[0]
+        want = pyramid_np.phase_diff_stack(
+            frames, height=3, nbands=4, phase_size=48)
+        assert got.shape == want.shape == (4, 12, 48, 48)
+        np.testing.assert_allclose(got, want, atol=1e-3, rtol=0)
+
+    def test_identical_frames_zero_phase(self):
+        f = _clip(t=1)[0]
+        frames = jnp.asarray(np.stack([f, f])[None])
+        out = np.asarray(phase.micro_motion_features(frames, PYR, PH))
+        np.testing.assert_allclose(out, 0.0, atol=1e-3)
+
+    def test_wraparound_at_pi(self):
+        """dphi near +/-pi must stay wrapped in (-pi, pi] (SURVEY §4.2)."""
+        c0 = jnp.asarray(np.exp(1j * np.float32(np.pi - 0.01)))
+        c1 = jnp.asarray(np.exp(1j * np.float32(-np.pi + 0.01)))
+        d = float(phase.phase_diff(c1, c0))
+        assert abs(d - 0.02) < 1e-5  # not -2*pi + 0.02
+
+    def test_output_static_shapes(self):
+        frames = jnp.zeros((2, 6, 64, 64))
+        out = phase.micro_motion_features(frames, PYR, PH)
+        assert out.shape == (2, 5, 12, 48, 48)
+        assert out.dtype == jnp.float32
+
+
+class TestResize:
+    def test_matches_torch_bilinear(self):
+        rng = np.random.default_rng(1)
+        for src, dst in [(64, 48), (32, 48), (16, 48), (48, 48)]:
+            x = rng.standard_normal((2, 3, src, src)).astype(np.float32)
+            got = np.asarray(phase.resize_bilinear(jnp.asarray(x),
+                                                   (dst, dst)))
+            want = F.interpolate(torch.from_numpy(x), size=(dst, dst),
+                                 mode="bilinear",
+                                 align_corners=False).numpy()
+            np.testing.assert_allclose(got, want, atol=5e-5, rtol=0)

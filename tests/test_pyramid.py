@@ -1,0 +1,110 @@
+"""Golden + property tests for the steerable pyramid (SURVEY.md §4 1-2)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mimamo_tpu.config import PyramidSpec
+from mimamo_tpu import pyramid
+
+from oracles import pyramid_np
+
+
+SPEC = PyramidSpec(height=3, orientations=4, input_size=(64, 64))
+
+
+def _rand_frames(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(shape).astype(np.float32) * 50.0 + 128.0
+
+
+class TestAgainstOracle:
+    def test_band_values_match_recursive_oracle(self):
+        im = _rand_frames((2, 64, 64))
+        got = pyramid.build(jnp.asarray(im), SPEC)
+        want = pyramid_np.build(im, height=3, nbands=4)
+        np.testing.assert_allclose(
+            np.asarray(got["high"]), want["high"], atol=2e-3, rtol=0)
+        np.testing.assert_allclose(
+            np.asarray(got["low"]), want["low"], atol=2e-3, rtol=0)
+        for s in range(SPEC.height):
+            g = np.asarray(got["bands"][s])
+            w = want["bands"][s]
+            assert g.shape == w.shape
+            scale = np.abs(w).max()
+            np.testing.assert_allclose(g, w, atol=1e-4 * scale, rtol=0)
+
+    @pytest.mark.parametrize("orientations", [2, 4, 6])
+    def test_orientation_counts(self, orientations):
+        spec = PyramidSpec(height=2, orientations=orientations,
+                           input_size=(32, 32))
+        im = _rand_frames((1, 32, 32), seed=1)
+        got = pyramid.build(jnp.asarray(im), spec)
+        want = pyramid_np.build(im, height=2, nbands=orientations)
+        for s in range(2):
+            w = want["bands"][s]
+            np.testing.assert_allclose(
+                np.asarray(got["bands"][s]), w,
+                atol=1e-4 * np.abs(w).max(), rtol=0)
+
+
+class TestProperties:
+    def test_perfect_reconstruction(self):
+        """Filter-bank PR property (SURVEY.md §4 item 2)."""
+        im = _rand_frames((1, 64, 64), seed=2)
+        pyr = pyramid.build(jnp.asarray(im), SPEC)
+        rec = np.asarray(pyramid.reconstruct(pyr, SPEC))
+        err = np.abs(rec - im).max() / np.abs(im).max()
+        assert err < 1e-3, f"reconstruction rel-err {err}"
+
+    def test_linearity(self):
+        a = _rand_frames((1, 64, 64), seed=3)
+        b = _rand_frames((1, 64, 64), seed=4)
+        pa = pyramid.build(jnp.asarray(a), SPEC)
+        pb = pyramid.build(jnp.asarray(b), SPEC)
+        pab = pyramid.build(jnp.asarray(a + b), SPEC)
+        for s in range(SPEC.height):
+            np.testing.assert_allclose(
+                np.asarray(pab["bands"][s]),
+                np.asarray(pa["bands"][s]) + np.asarray(pb["bands"][s]),
+                atol=2e-2)
+
+    def test_band_shapes_downsample_per_scale(self):
+        im = jnp.zeros((1, 64, 64))
+        pyr = pyramid.build(im, SPEC)
+        assert pyr["high"].shape == (1, 64, 64)
+        assert pyr["low"].shape == (1, 8, 8)
+        for s in range(SPEC.height):
+            assert pyr["bands"][s].shape == (1, 4, 64 >> s, 64 >> s)
+
+    def test_translation_moves_phase(self):
+        """A shifted image produces nonzero phase differences whose sign
+        tracks the shift direction for the horizontal orientation band."""
+        h = w = 64
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        freq = 2 * np.pi * 6.0 / w
+        f0 = np.cos(freq * xx).astype(np.float32)
+        shift = 1.0
+        f1 = np.cos(freq * (xx - shift)).astype(np.float32)
+        frames = jnp.asarray(np.stack([f0, f1])[None])      # [1,2,H,W]
+        spec = PyramidSpec(height=3, orientations=4, input_size=(64, 64))
+        p0 = pyramid.build(frames[:, 0], spec)
+        p1 = pyramid.build(frames[:, 1], spec)
+        # Orientation k=0 is horizontal-frequency; expected dphi=freq*shift.
+        best = None
+        for s in range(3):
+            c0, c1 = p0["bands"][s][:, 0], p1["bands"][s][:, 0]
+            amp = np.abs(np.asarray(c0))
+            if best is None or amp.max() > best[0]:
+                prod = np.asarray(c1) * np.conj(np.asarray(c0))
+                best = (amp.max(), prod, amp)
+        _, prod, amp = best
+        mask = amp > 0.5 * amp.max()
+        dphi = np.arctan2(prod.imag, prod.real)[mask]
+        # Rightward shift multiplies the positive-frequency analytic band
+        # by exp(-i*freq*shift), so the wrapped phase diff is -freq*shift.
+        np.testing.assert_allclose(dphi, -freq * shift, atol=1e-2)
+
+    def test_rejects_wrong_input_size(self):
+        with np.testing.assert_raises(ValueError):
+            pyramid.build(jnp.zeros((1, 32, 32)), SPEC)
