@@ -1,0 +1,216 @@
+"""Flax ResNet-50 appearance backbone (FER+ layout) for the macro stream.
+
+Reference behavior (SURVEY.md §2 "ResNet-50 FER+ graph def", Appendix A.5;
+mount empty): the reference uses an auto-generated, MatConvNet-converted
+``resnet50_ferplus_dag`` — a standard ResNet-50 taking float32 images in
+0..255 with per-channel mean subtraction (no /255, no std), emitting the
+2048-d ``pool5_7x7_s1`` global-average embedding consumed by the temporal
+model.
+
+TPU-first design: NHWC layout, bfloat16-capable compute with fp32 batch
+norm statistics, frames batched (B*T) through one forward so the conv stack
+tiles onto the MXU. ``stride_in_1x1=True`` reproduces the Caffe/MatConvNet
+bottleneck (stride on the first 1x1 conv) that converted checkpoints
+expect; set False for torchvision-style v1.5 placement. Padding is
+explicit everywhere to match torch's symmetric conv/pool padding (flax
+'SAME' differs for stride 2 — a classic parity trap, covered by
+tests/test_backbone.py against a torch-CPU mirror).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import BackboneSpec
+
+STAGE_SIZES = (3, 4, 6, 3)            # ResNet-50
+STAGE_WIDTHS = (64, 128, 256, 512)    # bottleneck inner widths
+
+
+class Bottleneck(nn.Module):
+    width: int
+    stride: int
+    stride_in_1x1: bool
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        s1 = self.stride if self.stride_in_1x1 else 1
+        s3 = 1 if self.stride_in_1x1 else self.stride
+        out_width = self.width * 4
+
+        def bn(name):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, dtype=self.dtype, name=name)
+
+        residual = x
+        if x.shape[-1] != out_width or self.stride != 1:
+            residual = nn.Conv(out_width, (1, 1), strides=(self.stride,) * 2,
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
+            residual = bn("downsample_bn")(residual)
+
+        y = nn.Conv(self.width, (1, 1), strides=(s1,) * 2, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(bn("bn1")(y))
+        y = nn.Conv(self.width, (3, 3), strides=(s3,) * 2,
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = nn.relu(bn("bn2")(y))
+        y = nn.Conv(out_width, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
+        y = bn("bn3")(y)
+        return nn.relu(y + residual)
+
+
+class ResNet50(nn.Module):
+    """ResNet-50 emitting (pool5 2048-d embedding, FER+ logits)."""
+
+    spec: BackboneSpec
+    stride_in_1x1: bool = True
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, train: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """images: [N, H, W, 3] *already preprocessed* (see preprocess_images).
+
+        Returns (embeddings [N, 2048], logits [N, num_classes]).
+        """
+        dtype = jnp.bfloat16 if self.spec.dtype == "bfloat16" else jnp.float32
+        x = images.astype(dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))
+        for stage, (blocks, width) in enumerate(
+                zip(STAGE_SIZES, STAGE_WIDTHS)):
+            for block in range(blocks):
+                stride = 2 if (stage > 0 and block == 0) else 1
+                x = Bottleneck(width, stride, self.stride_in_1x1, dtype,
+                               name=f"layer{stage + 1}_{block}")(
+                                   x, train=train)
+        emb = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)  # pool5_7x7_s1
+        logits = nn.Dense(self.spec.num_classes, name="fc")(emb)
+        return emb, logits
+
+
+def preprocess_images(images_0_255: jnp.ndarray,
+                      spec: BackboneSpec) -> jnp.ndarray:
+    """MatConvNet-style preprocessing: 0..255 floats, mean subtraction only.
+
+    ``spec.mean_rgb``/``channel_order`` must be set from the real
+    checkpoint's metadata when assets are available (SURVEY.md A.5).
+    Input/output: [..., H, W, 3] RGB.
+    """
+    x = images_0_255.astype(jnp.float32)
+    mean = jnp.asarray(spec.mean_rgb, jnp.float32)
+    if spec.channel_order == "bgr":
+        x = x[..., ::-1]
+        mean = mean[::-1]
+    return x - mean
+
+
+# ---------------------------------------------------------------------------
+# PyTorch ``state_dict`` importer (checkpoint-loadable weights — NORTH-STAR)
+# ---------------------------------------------------------------------------
+
+def _torch_block_prefix(stage: int, block: int) -> str:
+    return f"layer{stage + 1}.{block}."
+
+
+def torch_key_map() -> Dict[str, str]:
+    """Canonical torch-name -> flax-path map for ResNet-50.
+
+    The canonical schema is torchvision-style (``conv1.weight``,
+    ``layer1.0.conv2.weight``, ...). Real ``resnet50_ferplus_dag``
+    checkpoints use MatConvNet-derived names; pass a ``rename`` dict to
+    :func:`load_torch_state_dict` to translate those onto this schema
+    (documented external-asset risk — SURVEY.md §7 hard part 5).
+    """
+    m = {
+        "conv1.weight": "conv1/kernel",
+        "bn1.weight": "bn1/scale", "bn1.bias": "bn1/bias",
+        "bn1.running_mean": "bn1/mean@stats",
+        "bn1.running_var": "bn1/var@stats",
+        "fc.weight": "fc/kernel@t", "fc.bias": "fc/bias",
+    }
+    for stage, blocks in enumerate(STAGE_SIZES):
+        for block in range(blocks):
+            tp = _torch_block_prefix(stage, block)
+            fp = f"layer{stage + 1}_{block}/"
+            for i in (1, 2, 3):
+                m[f"{tp}conv{i}.weight"] = f"{fp}conv{i}/kernel"
+                m[f"{tp}bn{i}.weight"] = f"{fp}bn{i}/scale"
+                m[f"{tp}bn{i}.bias"] = f"{fp}bn{i}/bias"
+                m[f"{tp}bn{i}.running_mean"] = f"{fp}bn{i}/mean@stats"
+                m[f"{tp}bn{i}.running_var"] = f"{fp}bn{i}/var@stats"
+            if block == 0:  # only the first block of a stage downsamples
+                m[f"{tp}downsample.0.weight"] = f"{fp}downsample_conv/kernel"
+                m[f"{tp}downsample.1.weight"] = f"{fp}downsample_bn/scale"
+                m[f"{tp}downsample.1.bias"] = f"{fp}downsample_bn/bias"
+                m[f"{tp}downsample.1.running_mean"] = \
+                    f"{fp}downsample_bn/mean@stats"
+                m[f"{tp}downsample.1.running_var"] = \
+                    f"{fp}downsample_bn/var@stats"
+    return m
+
+
+def load_torch_state_dict(
+    state_dict: Dict[str, np.ndarray],
+    rename: Optional[Dict[str, str]] = None,
+    strict: bool = True,
+) -> Dict[str, Any]:
+    """Convert a torch ResNet-50 ``state_dict`` into flax variables.
+
+    Args:
+      state_dict: name -> numpy array (call ``.numpy()`` on tensors first,
+        or pass the dict from ``checkpoints.load_pth``).
+      rename: optional source-name -> canonical-torch-name translation for
+        non-torchvision schemas (e.g. the FER+ dag names).
+      strict: fail on unmapped/missing keys.
+
+    Returns:
+      ``{"params": ..., "batch_stats": ...}`` matching :class:`ResNet50`.
+    """
+    if rename:
+        state_dict = {rename.get(k, k): v for k, v in state_dict.items()}
+    key_map = torch_key_map()
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    seen = set()
+    for tkey, arr in state_dict.items():
+        if tkey.endswith("num_batches_tracked"):
+            continue
+        if tkey not in key_map:
+            if strict:
+                raise KeyError(f"unmapped torch key: {tkey}")
+            continue
+        seen.add(tkey)
+        fkey = key_map[tkey]
+        arr = np.asarray(arr)
+        is_stats = fkey.endswith("@stats")
+        fkey = fkey.replace("@stats", "")
+        if fkey.endswith("@t"):
+            fkey = fkey[:-2]
+            arr = arr.T                      # Dense: [O, I] -> [I, O]
+        elif fkey.endswith("kernel") and arr.ndim == 4:
+            arr = arr.transpose(2, 3, 1, 0)  # Conv: OIHW -> HWIO
+        tree = stats if is_stats else params
+        parts = fkey.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(arr)
+    if strict:
+        missing = set(key_map) - seen
+        if missing:
+            raise KeyError(f"missing torch keys: {sorted(missing)[:5]} ...")
+    return {"params": params, "batch_stats": stats}

@@ -1,0 +1,155 @@
+"""Two-stream temporal model: micro (phase CNN + GRU) and macro (ResNet
+feature GRU) streams fused into per-frame (valence, arousal).
+
+Reference behavior (SURVEY.md §2 "Two-stream temporal model", Appendix A.4;
+mount empty — shape from the MIMAMO paper + survey defaults): micro stream
+encodes stacked phase-diff maps with a small CNN, macro stream projects the
+2048-d appearance embedding; each feeds a GRU; hidden states are fused by
+concatenation through an FC head, outputs in [-1, 1].
+
+TPU-first design:
+  * The GRU is a hand-rolled cell under ``jax.lax.scan`` — fused (3H)-wide
+    matmuls per step, torch gate order/conventions (r, z, n; reset gate
+    applied to the hidden projection *including its bias*) so reference
+    ``state_dict`` weights import 1:1.
+  * Streaming: ``__call__`` accepts and returns GRU carries, so full-length
+    videos run chunk-by-chunk in O(chunk) memory with the hidden state
+    threaded across jit calls (SURVEY.md §5 "long-context" row).
+  * Micro CNN runs on NHWC layout with time folded into the batch axis so
+    conv sees one large batch (MXU-friendly).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .config import TemporalSpec
+
+
+class GRU(nn.Module):
+    """Single-layer GRU over the time axis, torch ``nn.GRU`` conventions.
+
+    Weight layout matches torch: ``w_ih``/``w_hh`` are [3H, D]/[3H, H] with
+    gate blocks stacked in (reset, update, new) order, so a reference
+    checkpoint's ``weight_ih_l0`` etc. can be loaded verbatim.
+    """
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, xs: jnp.ndarray,
+                 h0: Optional[jnp.ndarray] = None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """xs: [B, T, D] -> (ys: [B, T, H], h_final: [B, H])."""
+        b, _t, d = xs.shape
+        h = self.hidden
+        k = 1.0 / jnp.sqrt(h)
+
+        def uinit(key, shape):
+            return jax.random.uniform(key, shape, jnp.float32, -k, k)
+
+        w_ih = self.param("w_ih", uinit, (3 * h, d))
+        w_hh = self.param("w_hh", uinit, (3 * h, h))
+        b_ih = self.param("b_ih", uinit, (3 * h,))
+        b_hh = self.param("b_hh", uinit, (3 * h,))
+
+        if h0 is None:
+            h0 = jnp.zeros((b, h), xs.dtype)
+
+        # Input projections for all steps at once: one big [B*T, D]x[D, 3H]
+        # matmul keeps the MXU busy; only the recurrent matmul is sequential.
+        x_proj = jnp.einsum("btd,gd->btg", xs, w_ih) + b_ih
+
+        def step(carry, x_g):
+            h_prev = carry
+            h_proj = h_prev @ w_hh.T + b_hh
+            xr, xz, xn = jnp.split(x_g, 3, axis=-1)
+            hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)
+            h_new = (1.0 - z) * n + z * h_prev
+            return h_new, h_new
+
+        h_final, ys = jax.lax.scan(step, h0, jnp.swapaxes(x_proj, 0, 1))
+        return jnp.swapaxes(ys, 0, 1), h_final
+
+
+class MicroCNN(nn.Module):
+    """Small CNN encoding a stacked phase-diff map into an embedding."""
+
+    spec: TemporalSpec
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """x: [N, P, P, C] (NHWC) -> [N, micro_embed_dim]."""
+        for feats in self.spec.micro_cnn_features:
+            x = nn.Conv(feats, (3, 3), padding="SAME", use_bias=False)(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.9, epsilon=1e-5)(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = x.reshape(x.shape[0], -1)
+        return nn.Dense(self.spec.micro_embed_dim)(x)
+
+
+class TwoStreamRNN(nn.Module):
+    """Micro + macro streams -> dual GRU -> fused (valence, arousal)."""
+
+    spec: TemporalSpec
+
+    @nn.compact
+    def __call__(
+        self,
+        phase_stacks: jnp.ndarray,    # [B, T-1, C, P, P] phase-diff maps
+        rgb_feats: jnp.ndarray,       # [B, T, F] appearance embeddings
+        carries: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Returns ([B, T, num_outputs] per-frame predictions, new carries).
+
+        When ``carries`` is None, both GRUs start from zeros (clip mode);
+        passing the previous chunk's carries gives streaming over
+        arbitrarily long videos (BASELINE.json config 3).
+        """
+        spec = self.spec
+        b, tm1 = phase_stacks.shape[0], phase_stacks.shape[1]
+        t = rgb_feats.shape[1]
+
+        # Micro: fold time into batch for the CNN, NCHW -> NHWC.
+        pmaps = jnp.transpose(
+            phase_stacks.reshape((b * tm1,) + phase_stacks.shape[2:]),
+            (0, 2, 3, 1))
+        micro = MicroCNN(spec, name="micro_cnn")(pmaps, train=train)
+        micro = micro.reshape(b, tm1, -1)
+        if tm1 == t - 1:
+            # Align pair features to frames: frame 0 has no predecessor.
+            micro = jnp.pad(micro, ((0, 0), (1, 0), (0, 0)))
+        elif tm1 != t:
+            raise ValueError(f"phase stacks T-1={tm1} vs frames T={t}")
+
+        macro = nn.Dense(spec.macro_embed_dim, name="macro_proj")(rgb_feats)
+        macro = nn.relu(macro)
+
+        c_micro, c_macro = carries if carries is not None else (None, None)
+        ys_micro, h_micro = GRU(spec.gru_hidden, name="gru_micro")(
+            micro, c_micro)
+        ys_macro, h_macro = GRU(spec.gru_hidden, name="gru_macro")(
+            macro, c_macro)
+
+        fused = jnp.concatenate([ys_micro, ys_macro], axis=-1)
+        fused = nn.relu(nn.Dense(spec.fusion_hidden, name="fusion")(fused))
+        out = nn.Dense(spec.num_outputs, name="head")(fused)
+        if spec.output_activation == "tanh":
+            out = jnp.tanh(out)
+        return out, (h_micro, h_macro)
+
+
+def init_carries(spec: TemporalSpec, batch: int
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    z = jnp.zeros((batch, spec.gru_hidden), jnp.float32)
+    return z, z

@@ -1,0 +1,78 @@
+"""Backbone parity vs torch-CPU mirror + .pth key-map importer tests
+(SURVEY.md §4 items 1 and 6)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import torch
+
+from mimamo_tpu.config import BackboneSpec
+from mimamo_tpu import backbone
+
+from oracles import resnet_torch
+
+
+def _build_pair(stride_in_1x1=True, seed=0):
+    torch.manual_seed(seed)
+    tmodel = resnet_torch.ResNet50(num_classes=8,
+                                   stride_in_1x1=stride_in_1x1).eval()
+    resnet_torch.randomize_bn_stats(tmodel, seed=seed)
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    fmodel = backbone.ResNet50(BackboneSpec(), stride_in_1x1=stride_in_1x1)
+    variables = backbone.load_torch_state_dict(sd)
+    return tmodel, fmodel, variables
+
+
+class TestTorchParity:
+    @pytest.mark.parametrize("stride_in_1x1", [True, False])
+    def test_forward_matches_torch(self, stride_in_1x1):
+        tmodel, fmodel, variables = _build_pair(stride_in_1x1)
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            want_emb, want_logits = tmodel(
+                torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        got_emb, got_logits = fmodel.apply(variables, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(got_emb), want_emb.numpy(),
+                                   atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(got_logits),
+                                   want_logits.numpy(), atol=2e-4,
+                                   rtol=1e-3)
+
+
+class TestImporter:
+    def test_strict_rejects_unknown_keys(self):
+        with pytest.raises(KeyError):
+            backbone.load_torch_state_dict({"bogus.weight": np.zeros(3)})
+
+    def test_strict_rejects_missing_keys(self):
+        with pytest.raises(KeyError):
+            backbone.load_torch_state_dict(
+                {"conv1.weight": np.zeros((64, 3, 7, 7), np.float32)})
+
+    def test_rename_hook(self):
+        """FER+ dag-style names can be translated via the rename dict."""
+        tmodel = resnet_torch.ResNet50().eval()
+        sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+        # Simulate a foreign schema for one key.
+        sd["conv1_7x7_s2.weight"] = sd.pop("conv1.weight")
+        variables = backbone.load_torch_state_dict(
+            sd, rename={"conv1_7x7_s2.weight": "conv1.weight"})
+        assert variables["params"]["conv1"]["kernel"].shape == (7, 7, 3, 64)
+
+
+class TestPreprocess:
+    def test_mean_subtraction_no_scaling(self):
+        spec = BackboneSpec(mean_rgb=(10.0, 20.0, 30.0), channel_order="rgb")
+        x = jnp.full((1, 4, 4, 3), 100.0)
+        out = np.asarray(backbone.preprocess_images(x, spec))
+        np.testing.assert_allclose(out[..., 0], 90.0)
+        np.testing.assert_allclose(out[..., 2], 70.0)
+
+    def test_bgr_flip(self):
+        spec = BackboneSpec(mean_rgb=(10.0, 20.0, 30.0), channel_order="bgr")
+        x = jnp.zeros((1, 2, 2, 3)).at[..., 0].set(255.0)  # pure red
+        out = np.asarray(backbone.preprocess_images(x, spec))
+        # red channel moves to position 2 and gets the red mean subtracted
+        np.testing.assert_allclose(out[..., 2], 245.0)
+        np.testing.assert_allclose(out[..., 0], -30.0)

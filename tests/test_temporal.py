@@ -1,0 +1,116 @@
+"""Temporal model tests: GRU parity vs torch.nn.GRU (SURVEY.md A.4),
+streaming-carry equivalence, shapes and gradients."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from mimamo_tpu.config import TemporalSpec
+from mimamo_tpu import temporal
+
+
+SPEC = TemporalSpec()
+
+
+class TestGRUTorchParity:
+    def test_matches_torch_gru(self):
+        """Copied weights must reproduce torch.nn.GRU outputs exactly —
+        catches the reset-gate-applies-to-hidden-bias divergence."""
+        b, t, d, h = 3, 11, 7, 5
+        torch.manual_seed(0)
+        ref = torch.nn.GRU(d, h, batch_first=True)
+        xs = torch.randn(b, t, d)
+        h0 = torch.randn(1, b, h)
+        with torch.no_grad():
+            want_ys, want_h = ref(xs, h0)
+
+        gru = temporal.GRU(hidden=h)
+        params = {
+            "params": {
+                "w_ih": jnp.asarray(ref.weight_ih_l0.detach().numpy()),
+                "w_hh": jnp.asarray(ref.weight_hh_l0.detach().numpy()),
+                "b_ih": jnp.asarray(ref.bias_ih_l0.detach().numpy()),
+                "b_hh": jnp.asarray(ref.bias_hh_l0.detach().numpy()),
+            }
+        }
+        got_ys, got_h = gru.apply(params, jnp.asarray(xs.numpy()),
+                                  jnp.asarray(h0[0].numpy()))
+        np.testing.assert_allclose(np.asarray(got_ys), want_ys.numpy(),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_h), want_h[0].numpy(),
+                                   atol=1e-5)
+
+    def test_streaming_carry_equals_full_sequence(self):
+        """GRU over [0:T] == GRU over [0:k] then [k:T] with carried state —
+        the mechanism behind full-video streaming (config 3)."""
+        b, t, d, h, k = 2, 16, 6, 8, 7
+        rng = jax.random.PRNGKey(1)
+        gru = temporal.GRU(hidden=h)
+        xs = jax.random.normal(rng, (b, t, d))
+        params = gru.init(jax.random.PRNGKey(2), xs)
+        full_ys, full_h = gru.apply(params, xs)
+        ys1, h1 = gru.apply(params, xs[:, :k])
+        ys2, h2 = gru.apply(params, xs[:, k:], h1)
+        np.testing.assert_allclose(
+            np.asarray(jnp.concatenate([ys1, ys2], axis=1)),
+            np.asarray(full_ys), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(h2), np.asarray(full_h),
+                                   atol=1e-6)
+
+
+class TestTwoStream:
+    def _inputs(self, b=2, t=6, c=12, p=48, f=2048, seed=0):
+        rng = np.random.default_rng(seed)
+        phase = rng.standard_normal((b, t - 1, c, p, p)).astype(np.float32)
+        feats = rng.standard_normal((b, t, f)).astype(np.float32)
+        return jnp.asarray(phase), jnp.asarray(feats)
+
+    def test_output_shapes_and_range(self):
+        phase, feats = self._inputs()
+        model = temporal.TwoStreamRNN(SPEC)
+        variables = model.init(jax.random.PRNGKey(0), phase, feats)
+        out, (hm, hM) = model.apply(variables, phase, feats)
+        assert out.shape == (2, 6, 2)
+        assert hm.shape == hM.shape == (2, SPEC.gru_hidden)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_tanh_head_bounded(self):
+        spec = TemporalSpec(output_activation="tanh")
+        phase, feats = self._inputs()
+        model = temporal.TwoStreamRNN(spec)
+        variables = model.init(jax.random.PRNGKey(0), phase, feats)
+        out, _ = model.apply(variables, phase, feats)
+        assert np.abs(np.asarray(out)).max() <= 1.0
+
+    def test_streaming_matches_clip(self):
+        """Full-clip forward == two chunked forwards with carried state.
+        (Micro-stream pair alignment: the second chunk gets T pairs by
+        including the boundary pair, so chunk tm1 == t there.)"""
+        phase, feats = self._inputs(t=8)
+        model = temporal.TwoStreamRNN(SPEC)
+        variables = model.init(jax.random.PRNGKey(0), phase, feats)
+        full, _ = model.apply(variables, phase, feats)
+        k = 4
+        out1, car = model.apply(variables, phase[:, :k - 1], feats[:, :k])
+        out2, _ = model.apply(variables, phase[:, k - 1:], feats[:, k:],
+                              car)
+        got = jnp.concatenate([out1, out2], axis=1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                                   atol=1e-5)
+
+    def test_gradients_flow(self):
+        phase, feats = self._inputs(t=4)
+        model = temporal.TwoStreamRNN(SPEC)
+        variables = model.init(jax.random.PRNGKey(0), phase, feats)
+
+        def loss_fn(params):
+            out, _ = model.apply({"params": params,
+                                  "batch_stats": variables["batch_stats"]},
+                                 phase, feats)
+            return jnp.mean(out ** 2)
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+        assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
