@@ -1,0 +1,130 @@
+"""Host-side video decode and face-box provisioning.
+
+Reference behavior: the reference's only native component is the external
+OpenFace C++ binary doing detect/landmark/align/crop on the host, frame by
+frame, writing image files (SURVEY.md §2 "OpenFace", §3.1). Porting that
+C++ is explicitly out of scope (SURVEY.md §7 hard part 4); the TPU-native
+contract is: the host decodes frames and supplies face *boxes*; alignment,
+crop, resize and normalize all happen on device (preprocess.py).
+
+Box sources, in priority order:
+  1. precomputed boxes file (``<video>.boxes.npy`` [T, 4] or explicit path)
+  2. OpenCV Haar cascade face detector (ships with opencv, offline-safe)
+  3. centered square fallback covering the frame
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+try:  # cv2 is present in this image; keep the import soft for portability.
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+def decode_video(path: str, max_frames: Optional[int] = None
+                 ) -> np.ndarray:
+    """Decode a video file to [T, H, W, 3] RGB uint8 frames."""
+    if cv2 is None:
+        raise RuntimeError("OpenCV is required for video decode")
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video: {path}")
+    frames = []
+    while max_frames is None or len(frames) < max_frames:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+    cap.release()
+    if not frames:
+        raise ValueError(f"no frames decoded from {path}")
+    return np.stack(frames)
+
+
+def write_video(path: str, frames_rgb: np.ndarray, fps: float = 25.0
+                ) -> None:
+    """Write [T, H, W, 3] RGB uint8 frames (tests/demos)."""
+    if cv2 is None:
+        raise RuntimeError("OpenCV is required for video write")
+    t, h, w, _ = frames_rgb.shape
+    fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+    out = cv2.VideoWriter(path, fourcc, fps, (w, h))
+    for f in frames_rgb:
+        out.write(cv2.cvtColor(f.astype(np.uint8), cv2.COLOR_RGB2BGR))
+    out.release()
+
+
+def _haar_detector():
+    if cv2 is None:
+        return None
+    xml = os.path.join(cv2.data.haarcascades,
+                       "haarcascade_frontalface_default.xml")
+    if not os.path.exists(xml):
+        return None
+    det = cv2.CascadeClassifier(xml)
+    return det if not det.empty() else None
+
+
+def _center_box(h: int, w: int) -> np.ndarray:
+    side = min(h, w)
+    return np.asarray([(h - side) / 2, (w - side) / 2, side, side],
+                      np.float32)
+
+
+def face_boxes(frames_rgb: np.ndarray,
+               boxes_path: Optional[str] = None,
+               detect_every: int = 8,
+               margin: float = 0.25) -> np.ndarray:
+    """Per-frame (y0, x0, height, width) face boxes for [T, H, W, 3] frames.
+
+    Tracks by re-detecting every ``detect_every`` frames and holding the
+    last box in between (the reference reuses the last crop on no-face
+    frames — SURVEY.md §2 "Video preprocessor"). Boxes are squared and
+    expanded by ``margin`` to approximate OpenFace's aligned crop extent.
+    """
+    t, h, w, _ = frames_rgb.shape
+    if boxes_path and os.path.exists(boxes_path):
+        boxes = np.load(boxes_path).astype(np.float32)
+        if boxes.shape != (t, 4):
+            raise ValueError(
+                f"{boxes_path}: expected shape {(t, 4)}, got {boxes.shape}")
+        return boxes
+
+    det = _haar_detector()
+    boxes = np.empty((t, 4), np.float32)
+    last = _center_box(h, w)
+    for i in range(t):
+        if det is not None and i % detect_every == 0:
+            gray = cv2.cvtColor(frames_rgb[i], cv2.COLOR_RGB2GRAY)
+            found = det.detectMultiScale(gray, scaleFactor=1.2,
+                                         minNeighbors=4,
+                                         minSize=(h // 8, w // 8))
+            if len(found):
+                x, y, bw, bh = max(found, key=lambda b: b[2] * b[3])
+                side = max(bw, bh) * (1.0 + margin)
+                cy, cx = y + bh / 2, x + bw / 2
+                y0 = np.clip(cy - side / 2, 0, h - 1)
+                x0 = np.clip(cx - side / 2, 0, w - 1)
+                side_y = min(side, h - y0)
+                side_x = min(side, w - x0)
+                side = min(side_y, side_x)
+                last = np.asarray([y0, x0, side, side], np.float32)
+        boxes[i] = last
+    return boxes
+
+
+def load_video_with_boxes(path: str,
+                          boxes_path: Optional[str] = None,
+                          max_frames: Optional[int] = None
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode + box in one call. Default boxes file: ``<path>.boxes.npy``."""
+    frames = decode_video(path, max_frames=max_frames)
+    if boxes_path is None:
+        candidate = path + ".boxes.npy"
+        boxes_path = candidate if os.path.exists(candidate) else None
+    return frames, face_boxes(frames, boxes_path=boxes_path)

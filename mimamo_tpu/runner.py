@@ -1,0 +1,206 @@
+"""End-to-end jitted pipeline: face-crop clips -> per-frame (valence, arousal).
+
+This is the TPU-native replacement for the reference's stage-coupled demo
+path (``API.predict``: OpenFace subprocess -> ResNet over image files ->
+pyramid in DataLoader workers -> GRU; three disk round-trips — SURVEY.md
+§3.1). Here the whole frame->prediction path is ONE compiled XLA program
+(NORTH-STAR): grayscale + steerable-pyramid phase diffs, backbone
+embeddings, dual GRU and fusion head, optionally preceded by on-device
+box crop/resize.
+
+Entry points:
+  * ``Mimamo.predict_clips``      — [B, T, S, S, 3] crops -> [B, T, 2]
+  * ``Mimamo.predict_stream``     — chunked full-video streaming w/ carries
+  * ``Mimamo.predict_video``      — raw frames + boxes -> per-frame series
+  * ``Mimamo.predict_batch``      — mesh-sharded batched inference
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import parallel, preprocess
+from .backbone import ResNet50
+from .config import MimamoConfig
+from .phase import micro_motion_features
+from .temporal import TwoStreamRNN, init_carries
+
+Variables = Dict[str, Any]
+Carries = Tuple[jnp.ndarray, jnp.ndarray]
+
+
+class Mimamo:
+    """Bundles config + module defs + jitted programs.
+
+    Variables layout (one pytree for checkpointing):
+      {"backbone": <flax vars of ResNet50>, "temporal": <flax vars>}
+    """
+
+    def __init__(self, config: Optional[MimamoConfig] = None):
+        self.config = config or MimamoConfig()
+        self.backbone = ResNet50(self.config.backbone)
+        self.temporal = TwoStreamRNN(self.config.temporal)
+
+    # -- initialization ----------------------------------------------------
+
+    def init_variables(self, rng: jax.Array, clip_len: int = 2
+                       ) -> Variables:
+        cfg = self.config
+        r1, r2 = jax.random.split(rng)
+        s = cfg.backbone.input_size
+        bvars = self.backbone.init(r1, jnp.zeros((1, s, s, 3)))
+        p = cfg.phase.phase_size
+        tvars = self.temporal.init(
+            r2,
+            jnp.zeros((1, clip_len - 1, cfg.num_phase, p, p)),
+            jnp.zeros((1, clip_len, cfg.backbone.feature_dim)))
+        return {"backbone": bvars, "temporal": tvars}
+
+    # -- pure forward pieces (used by train.py too) ------------------------
+
+    def embed_frames(self, variables: Variables,
+                     crops_rgb: jnp.ndarray) -> jnp.ndarray:
+        """[B, T, S, S, 3] 0..255 crops -> [B, T, F] pool5 embeddings.
+
+        Inference-mode BN (running stats); the training path in train.py
+        applies the backbone itself so BN stat mutation is handled there.
+        """
+        b, t = crops_rgb.shape[:2]
+        imgs = preprocess.for_backbone(
+            crops_rgb.reshape((b * t,) + crops_rgb.shape[2:]),
+            self.config.backbone)
+        emb, _ = self.backbone.apply(variables["backbone"], imgs)
+        return emb.reshape(b, t, -1)
+
+    def forward(self, variables: Variables, crops_rgb: jnp.ndarray,
+                carries: Optional[Carries] = None,
+                include_first_pair: bool = False
+                ) -> Tuple[jnp.ndarray, Carries]:
+        """Full forward on aligned crops.
+
+        Args:
+          crops_rgb: [B, T, S, S, 3] float (0..255) aligned face crops,
+            S = config.clip.crop_size.
+          carries: GRU carries from the previous chunk (streaming mode).
+          include_first_pair: in streaming mode the caller prepends the
+            previous chunk's last frame so every frame here has a
+            predecessor pair; the temporal model then receives T pairs for
+            T frames (no zero-pad).
+
+        Returns:
+          ([B, T, 2] per-frame (valence, arousal), new carries).
+        """
+        cfg = self.config
+        gray = preprocess.to_grayscale(crops_rgb)
+        phase_stacks = micro_motion_features(gray, cfg.pyramid, cfg.phase)
+        emb = self.embed_frames(variables, crops_rgb)
+        if include_first_pair:
+            emb = emb[:, 1:]
+        return self.temporal.apply(variables["temporal"], phase_stacks,
+                                   emb, carries)
+
+    # -- jitted entry points ------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _predict_clips(self, variables: Variables,
+                       crops_rgb: jnp.ndarray) -> jnp.ndarray:
+        out, _ = self.forward(variables, crops_rgb)
+        return out
+
+    def predict_clips(self, variables: Variables,
+                      crops_rgb: jnp.ndarray) -> jnp.ndarray:
+        """[B, T, S, S, 3] aligned crops -> [B, T, 2], one XLA program."""
+        return self._predict_clips(variables, crops_rgb)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _predict_stream(self, variables: Variables, crops_rgb: jnp.ndarray,
+                        carries: Carries) -> Tuple[jnp.ndarray, Carries]:
+        # crops_rgb: [B, chunk+1, ...] — first frame is the previous
+        # chunk's last frame (pair context only; no prediction emitted).
+        out, new_carries = self.forward(variables, crops_rgb, carries,
+                                        include_first_pair=True)
+        return out, new_carries
+
+    def predict_stream(self, variables: Variables, crops_rgb: jnp.ndarray,
+                       carries: Optional[Carries] = None
+                       ) -> Tuple[jnp.ndarray, Carries]:
+        """Streaming chunk inference (BASELINE.json config 3).
+
+        Call repeatedly with consecutive chunks [B, chunk, S, S, 3]; the
+        GRU hidden state and one frame of pair context are threaded across
+        calls, so a full-length video runs in O(chunk) memory. The first
+        chunk emits T predictions (frame 0 pairs with zero-pad, clip
+        semantics); later chunks emit one prediction per frame.
+        """
+        if carries is None:
+            out, new_carries = self._predict_clips_with_carries(
+                variables, crops_rgb)
+            return out, (new_carries, crops_rgb[:, -1:])
+        gru_carries, last_frame = carries
+        chunk = jnp.concatenate([last_frame, crops_rgb], axis=1)
+        out, new_gru = self._predict_stream(variables, chunk, gru_carries)
+        return out, (new_gru, crops_rgb[:, -1:])
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _predict_clips_with_carries(self, variables, crops_rgb):
+        return self.forward(variables, crops_rgb)
+
+    def predict_video(self, variables: Variables, frames_rgb: np.ndarray,
+                      boxes: np.ndarray,
+                      batch_clips: int = 8) -> np.ndarray:
+        """Raw decoded video -> per-frame (valence, arousal) time series.
+
+        [T, H, W, 3] frames + [T, 4] face boxes: on-device crop/resize,
+        sliding clip windows (clip_len/stride from config), batched clip
+        inference, overlap-averaged back to per-frame outputs — the
+        reference's ``API.predict`` equivalent (SURVEY.md §3.1) without
+        the disk round-trips.
+        """
+        cfg = self.config.clip
+        crops = self._crop_video(variables, jnp.asarray(frames_rgb),
+                                 jnp.asarray(boxes, jnp.float32))
+        windows, starts = preprocess.sliding_windows(
+            crops, cfg.clip_len, cfg.stride)
+        preds = []
+        for i in range(0, windows.shape[0], batch_clips):
+            batch = windows[i:i + batch_clips]
+            pad = batch_clips - batch.shape[0]
+            if pad:
+                batch = jnp.pad(batch,
+                                [(0, pad)] + [(0, 0)] * (batch.ndim - 1))
+            out = self.predict_clips(variables, batch)
+            preds.append(out[:out.shape[0] - pad] if pad else out)
+        preds = jnp.concatenate(preds, axis=0)
+        return np.asarray(preprocess.merge_window_predictions(
+            preds, starts, frames_rgb.shape[0]))
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _crop_video(self, variables: Variables, frames: jnp.ndarray,
+                    boxes: jnp.ndarray) -> jnp.ndarray:
+        del variables  # crop is parameter-free; kept for API uniformity
+        return preprocess.crop_and_resize(frames, boxes,
+                                          self.config.clip.crop_size)
+
+    # -- mesh-sharded batch inference (config 5) -----------------------------
+
+    def predict_batch(self, variables: Variables, crops_rgb: jnp.ndarray,
+                      mesh=None) -> jnp.ndarray:
+        """Data-parallel clip inference over a device mesh.
+
+        Shards the clip batch over ``mesh`` (default: all devices) with
+        replicated params; the same jitted program serves 1..N chips.
+        """
+        mesh = mesh or parallel.make_mesh()
+        n = mesh.devices.size
+        b = crops_rgb.shape[0]
+        padded = parallel.pad_to_multiple({"x": np.asarray(crops_rgb)},
+                                          n)["x"]
+        x = parallel.shard_batch(jnp.asarray(padded), mesh)
+        v = parallel.replicate(variables, mesh)
+        out = self._predict_clips(v, x)
+        return out[:b]

@@ -1,0 +1,144 @@
+"""Training: optax Adam on CCC loss, data-parallel over a device mesh.
+
+Reference behavior (SURVEY.md §3.3): argparse -> Datasets -> DataLoader ->
+Adam loop with ``1 - ccc`` loss per head -> per-epoch val CCC ->
+``torch.save`` best checkpoint; backbone frozen (training consumes cached
+ResNet features).
+
+TPU-first: one jitted ``train_step`` (donated state) containing the full
+forward (phase pyramid in-graph, optionally frozen backbone), value_and_grad
+and the optax update; batch sharded over ``Mesh(('data',))`` with replicated
+params so XLA GSPMD inserts the gradient psum — no hand-written collectives
+(SURVEY.md §5 "Distributed communication backend").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from . import preprocess
+from .config import MimamoConfig
+from .losses import ccc, ccc_loss
+from .phase import micro_motion_features
+from .runner import Mimamo
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any          # {"backbone": ..., "temporal": ...}
+    batch_stats: Any
+    opt_state: Any
+
+
+def _split_variables(variables: Dict[str, Any]
+                     ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    params = {k: v["params"] for k, v in variables.items()}
+    stats = {k: v.get("batch_stats", {}) for k, v in variables.items()}
+    return params, stats
+
+
+def _join_variables(params, stats) -> Dict[str, Any]:
+    return {k: {"params": params[k], "batch_stats": stats[k]}
+            for k in params}
+
+
+def make_optimizer(config: MimamoConfig) -> optax.GradientTransformation:
+    t = config.train
+    tx = (optax.adamw(t.learning_rate, weight_decay=t.weight_decay)
+          if t.weight_decay else optax.adam(t.learning_rate))
+    if t.freeze_backbone:
+        # Zero-out backbone updates; params stay exactly as loaded.
+        def label(params):
+            return {k: jax.tree_util.tree_map(
+                lambda _: "train" if k != "backbone" else "frozen", v)
+                for k, v in params.items()}
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, label)
+    return tx
+
+
+def create_train_state(model: Mimamo, rng: jax.Array,
+                       tx: Optional[optax.GradientTransformation] = None,
+                       variables: Optional[Dict[str, Any]] = None
+                       ) -> Tuple[TrainState, optax.GradientTransformation]:
+    tx = tx or make_optimizer(model.config)
+    variables = variables or model.init_variables(rng)
+    params, stats = _split_variables(variables)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=stats,
+                      opt_state=tx.init(params)), tx
+
+
+def make_train_step(model: Mimamo, tx: optax.GradientTransformation
+                    ) -> Callable:
+    """Returns jitted ``train_step(state, batch) -> (state, metrics)``.
+
+    batch: {"clips": [B, T, S, S, 3] float 0..255 aligned crops,
+            "labels": [B, T, 2] valence/arousal in [-1, 1],
+            "mask":   [B, T] float validity mask}.
+    """
+    cfg = model.config
+    freeze = cfg.train.freeze_backbone
+
+    def loss_fn(params, batch_stats, batch):
+        variables = _join_variables(params, batch_stats)
+        clips = batch["clips"]
+        gray = preprocess.to_grayscale(clips)
+        phase_stacks = micro_motion_features(gray, cfg.pyramid, cfg.phase)
+        emb = model.embed_frames(variables, clips)
+        if freeze:
+            emb = jax.lax.stop_gradient(emb)
+        (out, _), mutated = model.temporal.apply(
+            variables["temporal"], phase_stacks, emb, train=True,
+            mutable=["batch_stats"])
+        # CCC over the time axis per clip and output dim, masked for padding.
+        per_clip = jax.vmap(
+            lambda p, y, m: ccc_loss(p, y, mask=m,
+                                     mse_weight=cfg.train.mse_weight))(
+            out, batch["labels"], batch["mask"])
+        loss = jnp.mean(per_clip)
+        new_stats = dict(batch_stats)
+        new_stats["temporal"] = mutated["batch_stats"]
+        metrics = {
+            "loss": loss,
+            "ccc_v": jnp.mean(jax.vmap(
+                lambda p, y, m: ccc(p[:, 0], y[:, 0], mask=m))(
+                out, batch["labels"], batch["mask"])),
+            "ccc_a": jnp.mean(jax.vmap(
+                lambda p, y, m: ccc(p[:, 1], y[:, 1], mask=m))(
+                out, batch["labels"], batch["mask"])),
+        }
+        return loss, (new_stats, metrics)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        grads, (new_stats, metrics) = jax.grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=new_params,
+                          batch_stats=new_stats,
+                          opt_state=new_opt), metrics
+
+    return train_step
+
+
+def make_eval_step(model: Mimamo) -> Callable:
+    """``eval_step(state, batch) -> [B, T, 2]`` predictions (jitted)."""
+
+    def eval_step(state: TrainState, batch) -> jnp.ndarray:
+        variables = _join_variables(state.params, state.batch_stats)
+        return model.predict_clips(variables, batch["clips"])
+
+    return eval_step
+
+
+def variables_from_state(state: TrainState) -> Dict[str, Any]:
+    return _join_variables(state.params, state.batch_stats)

@@ -1,0 +1,132 @@
+"""End-to-end runner tests: single jitted program, streaming, windowing,
+and mesh-sharded inference == single-device (SURVEY.md §4 items 3-4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mimamo_tpu import parallel, preprocess
+from mimamo_tpu.config import (BackboneSpec, ClipSpec, MimamoConfig,
+                               PhaseSpec, PyramidSpec, TemporalSpec)
+from mimamo_tpu.runner import Mimamo
+
+
+def tiny_config(clip_len=6, stride=3):
+    """Small shapes so CPU tests stay fast; structure identical to full."""
+    return MimamoConfig(
+        pyramid=PyramidSpec(height=2, orientations=2, input_size=(32, 32)),
+        phase=PhaseSpec(phase_size=16),
+        backbone=BackboneSpec(input_size=32),
+        temporal=TemporalSpec(micro_cnn_features=(8,), micro_embed_dim=16,
+                              macro_embed_dim=16, gru_hidden=16,
+                              fusion_hidden=16),
+        clip=ClipSpec(clip_len=clip_len, stride=stride, crop_size=32),
+    )
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = Mimamo(tiny_config())
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    return model, variables
+
+
+def _clips(b=2, t=6, s=32, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(
+        rng.uniform(0, 255, (b, t, s, s, 3)).astype(np.float32))
+
+
+class TestEndToEnd:
+    def test_clip_predictions(self, model_and_vars):
+        model, variables = model_and_vars
+        out = model.predict_clips(variables, _clips())
+        assert out.shape == (2, 6, 2)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_streaming_matches_clip(self, model_and_vars):
+        """Chunked streaming over a long clip == one-shot clip forward."""
+        model, variables = model_and_vars
+        clips = _clips(t=12)
+        full = np.asarray(model.predict_clips(variables, clips))
+        outs, carries = [], None
+        for start in range(0, 12, 4):
+            out, carries = model.predict_stream(
+                variables, clips[:, start:start + 4], carries)
+            outs.append(np.asarray(out))
+        got = np.concatenate(outs, axis=1)
+        np.testing.assert_allclose(got, full, atol=1e-4)
+
+    def test_predict_video_end_to_end(self, model_and_vars):
+        model, variables = model_and_vars
+        rng = np.random.default_rng(1)
+        frames = rng.uniform(0, 255, (14, 48, 64, 3)).astype(np.float32)
+        boxes = np.tile(np.asarray([[8.0, 16.0, 32.0, 32.0]], np.float32),
+                        (14, 1))
+        series = model.predict_video(variables, frames, boxes,
+                                     batch_clips=2)
+        assert series.shape == (14, 2)
+        assert np.all(np.isfinite(series))
+
+
+class TestSharding:
+    def test_mesh_inference_matches_single_device(self, model_and_vars):
+        """8-virtual-device data-parallel == single-device (SURVEY §4.4)."""
+        model, variables = model_and_vars
+        clips = _clips(b=8)
+        single = np.asarray(model.predict_clips(variables, clips))
+        mesh = parallel.make_mesh()
+        assert mesh.devices.size == 8
+        sharded = np.asarray(model.predict_batch(variables, clips, mesh))
+        np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+    def test_uneven_batch_padding(self, model_and_vars):
+        model, variables = model_and_vars
+        clips = _clips(b=3)
+        single = np.asarray(model.predict_clips(variables, clips))
+        out = np.asarray(model.predict_batch(variables, clips))
+        assert out.shape == (3, 6, 2)
+        np.testing.assert_allclose(out, single, atol=1e-5)
+
+
+class TestPreprocess:
+    def test_crop_and_resize_identity_box(self):
+        rng = np.random.default_rng(2)
+        frames = jnp.asarray(
+            rng.uniform(0, 255, (3, 32, 32, 3)).astype(np.float32))
+        boxes = jnp.tile(jnp.asarray([[0.0, 0.0, 32.0, 32.0]]), (3, 1))
+        out = preprocess.crop_and_resize(frames, boxes, 32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(frames),
+                                   atol=1e-4)
+
+    def test_crop_matches_manual_slice(self):
+        """Integer box + matching output size == plain slicing."""
+        rng = np.random.default_rng(3)
+        frames = jnp.asarray(
+            rng.uniform(0, 255, (2, 40, 40, 3)).astype(np.float32))
+        boxes = jnp.tile(jnp.asarray([[4.0, 8.0, 16.0, 16.0]]), (2, 1))
+        out = preprocess.crop_and_resize(frames, boxes, 16)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(frames[:, 4:20, 8:24]),
+                                   atol=1e-3)
+
+    def test_sliding_windows_cover_tail(self):
+        x = jnp.arange(10)
+        windows, starts = preprocess.sliding_windows(x, 4, 3)
+        assert list(starts) == [0, 3, 6]
+        np.testing.assert_array_equal(np.asarray(windows[-1]),
+                                      [6, 7, 8, 9])
+
+    def test_merge_overlap_average(self):
+        preds = jnp.stack([jnp.ones((4, 2)), 3 * jnp.ones((4, 2))])
+        merged = preprocess.merge_window_predictions(
+            preds, np.asarray([0, 2]), 6)
+        np.testing.assert_allclose(np.asarray(merged[:2]), 1.0)
+        np.testing.assert_allclose(np.asarray(merged[2:4]), 2.0)
+        np.testing.assert_allclose(np.asarray(merged[4:]), 3.0)
+
+    def test_grayscale_bt601(self):
+        x = jnp.zeros((1, 2, 2, 3)).at[..., 1].set(100.0)
+        np.testing.assert_allclose(
+            np.asarray(preprocess.to_grayscale(x)), 58.7, atol=1e-3)

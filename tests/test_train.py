@@ -1,0 +1,149 @@
+"""Training-step tests: loss decreases, frozen backbone stays frozen,
+sharded step == single-device step, checkpoint round-trip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mimamo_tpu import checkpoints, parallel, train
+from mimamo_tpu.runner import Mimamo
+
+from test_runner import tiny_config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = Mimamo(tiny_config())
+    state, tx = train.create_train_state(model, jax.random.PRNGKey(0))
+    step = train.make_train_step(model, tx)
+    return model, state, tx, step
+
+
+def _batch(b=2, t=6, s=32, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "clips": jnp.asarray(
+            rng.uniform(0, 255, (b, t, s, s, 3)).astype(np.float32)),
+        "labels": jnp.asarray(
+            np.tanh(rng.standard_normal((b, t, 2))).astype(np.float32)),
+        "mask": jnp.ones((b, t), jnp.float32),
+    }
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, setup):
+        model, state, tx, step = setup
+        state = jax.tree_util.tree_map(jnp.copy, state)  # step donates input
+        batch = _batch()
+        first = None
+        for i in range(8):
+            state, metrics = step(state, batch)
+            if first is None:
+                first = float(metrics["loss"])
+        assert float(metrics["loss"]) < first
+        assert int(state.step) == 8
+
+    def test_frozen_backbone_unchanged(self, setup):
+        model, state, tx, step = setup
+        before = jax.tree_util.tree_leaves(state.params["backbone"])
+        new_state, _ = step(
+            jax.tree_util.tree_map(jnp.copy, state), _batch(seed=1))
+        after = jax.tree_util.tree_leaves(new_state.params["backbone"])
+        for a, b in zip(before, after):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # temporal params DID change
+        tb = jax.tree_util.tree_leaves(state.params["temporal"])
+        ta = jax.tree_util.tree_leaves(new_state.params["temporal"])
+        assert any(float(jnp.abs(x - y).max()) > 0 for x, y in zip(tb, ta))
+
+    def test_sharded_step_matches_single(self):
+        """Data-parallel grad psum == single-device step (SURVEY §4.4)."""
+        model = Mimamo(tiny_config())
+        state, tx = train.create_train_state(model, jax.random.PRNGKey(1))
+        step = train.make_train_step(model, tx)
+        batch = _batch(b=8, seed=2)
+
+        s_single, m_single = step(
+            jax.tree_util.tree_map(jnp.copy, state), batch)
+
+        mesh = parallel.make_mesh()
+        sharded_batch = parallel.shard_batch(batch, mesh)
+        state_r = parallel.replicate(
+            jax.tree_util.tree_map(jnp.copy, state), mesh)
+        s_shard, m_shard = step(state_r, sharded_batch)
+
+        np.testing.assert_allclose(float(m_single["loss"]),
+                                   float(m_shard["loss"]), atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(s_single.params),
+                        jax.tree_util.tree_leaves(s_shard.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+    def test_metrics_reported(self, setup):
+        model, state, tx, step = setup
+        _, metrics = step(jax.tree_util.tree_map(jnp.copy, state), _batch())
+        assert set(metrics) == {"loss", "ccc_v", "ccc_a"}
+        assert all(np.isfinite(float(v)) for v in metrics.values())
+
+
+class TestCheckpoints:
+    def test_orbax_roundtrip(self, setup, tmp_path):
+        model, state, tx, step = setup
+        state2, _ = step(jax.tree_util.tree_map(jnp.copy, state), _batch())
+        path = str(tmp_path / "ckpt")
+        checkpoints.save(path, state2)
+        restored = checkpoints.restore(path, jax.tree_util.tree_map(
+            np.asarray, state2))
+        for a, b in zip(jax.tree_util.tree_leaves(state2),
+                        jax.tree_util.tree_leaves(restored)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        assert checkpoints.latest_step(path) == 1
+
+    def test_pth_roundtrip_temporal(self, tmp_path):
+        """Synthetic reference-style .pth loads into the temporal model
+        and changes its outputs accordingly (SURVEY §4 item 6)."""
+        import torch
+        model = Mimamo(tiny_config())
+        variables = model.init_variables(jax.random.PRNGKey(0))
+        h = model.config.temporal.gru_hidden
+        f = model.config.backbone.feature_dim
+        torch.manual_seed(0)
+        sd = {}
+        for stream, din in (("gru_micro", model.config.temporal
+                             .micro_embed_dim),
+                            ("gru_macro", model.config.temporal
+                             .macro_embed_dim)):
+            sd[f"{stream}.weight_ih_l0"] = torch.randn(3 * h, din)
+            sd[f"{stream}.weight_hh_l0"] = torch.randn(3 * h, h)
+            sd[f"{stream}.bias_ih_l0"] = torch.randn(3 * h)
+            sd[f"{stream}.bias_hh_l0"] = torch.randn(3 * h)
+        sd["head.weight"] = torch.randn(2, model.config.temporal
+                                        .fusion_hidden)
+        sd["head.bias"] = torch.randn(2)
+        p = str(tmp_path / "two_stream.pth")
+        torch.save(sd, p)
+
+        loaded = checkpoints.load_pth(p)
+        overlay = checkpoints.load_temporal_state_dict(loaded)
+        tvars = variables["temporal"]
+        merged = checkpoints.merge_params(tvars["params"],
+                                          overlay["params"])
+        np.testing.assert_allclose(
+            np.asarray(merged["gru_micro"]["w_ih"]),
+            sd["gru_micro.weight_ih_l0"].numpy())
+        np.testing.assert_allclose(
+            np.asarray(merged["head"]["kernel"]),
+            sd["head.weight"].numpy().T)
+        # merge preserved untouched (framework-native) micro-CNN params
+        assert "micro_cnn" in merged
+
+    def test_prefix_map_translation(self):
+        h = 4
+        sd = {"rnn1.weight_ih_l0": np.zeros((3 * h, 8), np.float32),
+              "rnn1.weight_hh_l0": np.zeros((3 * h, h), np.float32),
+              "rnn1.bias_ih_l0": np.zeros(3 * h, np.float32),
+              "rnn1.bias_hh_l0": np.zeros(3 * h, np.float32)}
+        out = checkpoints.load_temporal_state_dict(
+            sd, prefix_map={"rnn1.": "gru_micro."})
+        assert out["params"]["gru_micro"]["w_ih"].shape == (12, 8)
