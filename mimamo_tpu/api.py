@@ -1,0 +1,129 @@
+"""User-facing API mirroring the reference's ``api/`` layer.
+
+Reference surface (SURVEY.md §1 L1/L4, §2; mount empty — shape from the
+survey): ``Video_Processor.process(video) -> cropped_aligned_dir``,
+``Resnet50_Extractor.extract(frames_dir) -> per-frame 2048-d features on
+disk``, and an end-to-end ``API.predict(video) -> per-frame (valence,
+arousal) time series`` written as CSV.
+
+Here the same three entry points exist for drop-in familiarity, but the
+hot path is fused: ``MimamoAPI.predict`` runs decode -> on-device crop ->
+pyramid -> backbone -> GRU as compiled XLA programs with no intermediate
+disk round-trips. ``VideoProcessor``/``FeatureExtractor`` remain for the
+reference's two-step cached-features workflow (training on precomputed
+artifacts).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from .config import MimamoConfig
+from .io import decode
+from .runner import Mimamo
+
+
+class VideoProcessor:
+    """Decode + face-box + on-device crop/align; writes [T, S, S, 3] npy.
+
+    Replaces the reference's OpenFace subprocess stage (SURVEY.md §2
+    "Video preprocessor"): detection runs on host (Haar cascade or
+    precomputed boxes), crop/resize on device.
+    """
+
+    def __init__(self, save_size: int = 112,
+                 config: Optional[MimamoConfig] = None):
+        self.save_size = save_size
+        self.model = Mimamo(config or MimamoConfig())
+
+    def process(self, video_path: str, out_dir: str,
+                boxes_path: Optional[str] = None,
+                max_frames: Optional[int] = None) -> str:
+        import jax.numpy as jnp
+        frames, boxes = decode.load_video_with_boxes(
+            video_path, boxes_path=boxes_path, max_frames=max_frames)
+        crops = np.asarray(self.model._crop_video(
+            None, jnp.asarray(frames.astype(np.float32)),
+            jnp.asarray(boxes)))
+        os.makedirs(out_dir, exist_ok=True)
+        name = os.path.splitext(os.path.basename(video_path))[0]
+        out = os.path.join(out_dir, name + ".npy")
+        np.save(out, np.clip(crops, 0, 255).astype(np.uint8))
+        np.save(os.path.join(out_dir, name + ".boxes.npy"), boxes)
+        return out
+
+
+class FeatureExtractor:
+    """ResNet-50 FER+ pool5 features for cached-feature training.
+
+    Equivalent of ``Resnet50_Extractor(model_name='resnet50_ferplus_dag',
+    feature_layer='pool5_7x7_s1')`` (SURVEY.md §2): crops npy in,
+    [T, 2048] features npy out, batched through the jitted backbone.
+    """
+
+    def __init__(self, config: Optional[MimamoConfig] = None,
+                 variables: Optional[Dict[str, Any]] = None,
+                 batch_size: int = 64):
+        import jax
+        self.model = Mimamo(config or MimamoConfig())
+        self.batch = batch_size
+        self.variables = variables or jax.jit(
+            self.model.init_variables)(jax.random.PRNGKey(0))
+
+    def extract(self, crops_npy: str, out_path: Optional[str] = None
+                ) -> str:
+        import jax.numpy as jnp
+        crops = np.load(crops_npy).astype(np.float32)
+        feats = []
+        for i in range(0, len(crops), self.batch):
+            piece = jnp.asarray(crops[i:i + self.batch])[None]
+            feats.append(np.asarray(
+                self.model.embed_frames(self.variables, piece))[0])
+        out_path = out_path or crops_npy.replace(".npy", ".feat.npy")
+        np.save(out_path, np.concatenate(feats, axis=0))
+        return out_path
+
+
+class MimamoAPI:
+    """End-to-end ``predict(video) -> per-frame (valence, arousal)``.
+
+    The reference's demo entry point (SURVEY.md §3.1) without its three
+    disk round-trips; optionally writes the reference-style CSV.
+    """
+
+    def __init__(self, config: Optional[MimamoConfig] = None,
+                 variables: Optional[Dict[str, Any]] = None,
+                 checkpoint_dir: Optional[str] = None):
+        import jax
+        self.model = Mimamo(config or MimamoConfig())
+        if variables is not None:
+            self.variables = variables
+        elif checkpoint_dir:
+            from . import checkpoints, train
+            state, _ = train.create_train_state(
+                self.model, jax.random.PRNGKey(0))
+            state = checkpoints.restore(checkpoint_dir, state)
+            self.variables = train.variables_from_state(state)
+        else:
+            self.variables = jax.jit(
+                self.model.init_variables)(jax.random.PRNGKey(0))
+
+    def predict(self, video_path: str, out_csv: Optional[str] = None,
+                boxes_path: Optional[str] = None,
+                max_frames: Optional[int] = None) -> np.ndarray:
+        frames, boxes = decode.load_video_with_boxes(
+            video_path, boxes_path=boxes_path, max_frames=max_frames)
+        series = self.model.predict_video(self.variables, frames, boxes)
+        if out_csv:
+            _write_csv(out_csv, series)
+        return series
+
+
+def _write_csv(path: str, series: np.ndarray) -> None:
+    with open(path, "w") as f:
+        f.write("frame,valence,arousal\n")
+        for i, (v, a) in enumerate(series):
+            f.write(f"{i},{v:.6f},{a:.6f}\n")

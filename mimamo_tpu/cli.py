@@ -1,0 +1,243 @@
+"""Command-line interface: predict / extract / train / eval / bench.
+
+The reference's scripts layer (SURVEY.md §1 L5: ``train.py``/``main.py``
+argparse CLIs) as one entry point::
+
+    python -m mimamo_tpu.cli predict --video clip.mp4 --out preds.csv
+    python -m mimamo_tpu.cli extract --video clip.mp4 --out-dir work/
+    python -m mimamo_tpu.cli train --dataset omg --root data/ \
+        --manifest data/manifest.csv --ckpt ckpts/
+    python -m mimamo_tpu.cli eval --dataset affwild2 --root data/ \
+        --ckpt ckpts/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from typing import Optional
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--clip-len", type=int, default=48)
+    p.add_argument("--stride", type=int, default=24)
+    p.add_argument("--crop-size", type=int, default=112)
+    p.add_argument("--backbone-size", type=int, default=224)
+    p.add_argument("--pyramid-height", type=int, default=3)
+    p.add_argument("--orientations", type=int, default=4)
+    p.add_argument("--phase-size", type=int, default=48)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+
+
+def _config(args):
+    from .config import (BackboneSpec, ClipSpec, MimamoConfig, PhaseSpec,
+                         PyramidSpec)
+    s = args.crop_size
+    return MimamoConfig(
+        pyramid=PyramidSpec(height=args.pyramid_height,
+                            orientations=args.orientations,
+                            input_size=(s, s)),
+        phase=PhaseSpec(phase_size=args.phase_size),
+        backbone=BackboneSpec(input_size=args.backbone_size,
+                              dtype=args.dtype),
+        clip=ClipSpec(clip_len=args.clip_len, stride=args.stride,
+                      crop_size=s))
+
+
+def _setup_backend(args) -> None:
+    if getattr(args, "cpu", False):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+
+def cmd_predict(args) -> int:
+    _setup_backend(args)
+    from .api import MimamoAPI
+    api = MimamoAPI(config=_config(args), checkpoint_dir=args.ckpt)
+    series = api.predict(args.video, out_csv=args.out,
+                         boxes_path=args.boxes,
+                         max_frames=args.max_frames)
+    print(json.dumps({"frames": len(series),
+                      "valence_mean": float(series[:, 0].mean()),
+                      "arousal_mean": float(series[:, 1].mean()),
+                      "out": args.out}))
+    return 0
+
+
+def cmd_extract(args) -> int:
+    _setup_backend(args)
+    from .api import FeatureExtractor, VideoProcessor
+    vp = VideoProcessor(save_size=args.crop_size, config=_config(args))
+    crops = vp.process(args.video, args.out_dir, boxes_path=args.boxes,
+                       max_frames=args.max_frames)
+    feats = FeatureExtractor(config=_config(args)).extract(crops)
+    print(json.dumps({"crops": crops, "features": feats}))
+    return 0
+
+
+def _dataset(args, config):
+    from .data import datasets
+    if args.dataset == "omg":
+        if not args.manifest:
+            raise SystemExit("--manifest is required for --dataset omg")
+        return datasets.OMGEmotionDataset(args.root, args.manifest,
+                                          config.clip)
+    return datasets.AffWild2Dataset(args.root, clip=config.clip)
+
+
+def cmd_train(args) -> int:
+    _setup_backend(args)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from . import checkpoints, parallel, train
+    from .runner import Mimamo
+    from .config import TrainSpec
+    import dataclasses
+
+    config = dataclasses.replace(
+        _config(args),
+        train=TrainSpec(learning_rate=args.lr, batch_size=args.batch,
+                        epochs=args.epochs, seed=args.seed))
+    model = Mimamo(config)
+    ds = _dataset(args, config)
+    if len(ds) == 0:
+        raise SystemExit("dataset produced 0 clips (too short sequences?)")
+
+    state, tx = train.create_train_state(model, jax.random.PRNGKey(
+        config.train.seed))
+    if args.resume and checkpoints.latest_step(args.ckpt) is not None:
+        state = checkpoints.restore(args.ckpt, state)
+        print(f"resumed from step {int(np.asarray(state.step))}",
+              file=sys.stderr)
+    step_fn = train.make_train_step(model, tx)
+    mesh = parallel.make_mesh() if args.data_parallel else None
+
+    log_path = args.log or (args.ckpt.rstrip("/") + ".metrics.jsonl"
+                            if args.ckpt else None)
+    log_f = open(log_path, "a") if log_path else None
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        n, agg = 0, {}
+        for batch in ds.batches(config.train.batch_size, shuffle=True,
+                                seed=config.train.seed + epoch,
+                                drop_remainder=True):
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            if mesh is not None:
+                jb = parallel.shard_batch(
+                    parallel.pad_to_multiple(jb, mesh.devices.size), mesh)
+                state = parallel.replicate(state, mesh)
+            state, metrics = step_fn(state, jb)
+            n += 1
+            for k, v in metrics.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+        row = {"epoch": epoch, "steps": n,
+               "sec": round(time.time() - t0, 2),
+               **{k: round(v / max(n, 1), 4) for k, v in agg.items()}}
+        print(json.dumps(row))
+        if log_f:
+            log_f.write(json.dumps(row) + "\n")
+            log_f.flush()
+        if args.ckpt:
+            checkpoints.save(args.ckpt, state)
+    if log_f:
+        log_f.close()
+    return 0
+
+
+def cmd_eval(args) -> int:
+    _setup_backend(args)
+    import jax
+
+    from . import checkpoints, train
+    from .data import eval as eval_mod
+    from .runner import Mimamo
+
+    config = _config(args)
+    model = Mimamo(config)
+    state, _tx = train.create_train_state(model, jax.random.PRNGKey(0))
+    if args.ckpt:
+        state = checkpoints.restore(args.ckpt, state)
+    variables = train.variables_from_state(state)
+    ds = _dataset(args, config)
+    if args.dataset == "omg":
+        out = eval_mod.evaluate_omg(model, variables, ds,
+                                    chunk=config.clip.clip_len)
+    else:
+        out = eval_mod.evaluate_affwild2(model, variables, ds,
+                                         chunk=config.clip.clip_len)
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+    cmd = [sys.executable, "bench.py", "--dtype", args.dtype,
+           "--clip-len", str(args.clip_len)]
+    if args.cpu:
+        cmd.append("--cpu")
+    return subprocess.call(cmd)
+
+
+def main(argv: Optional[list] = None) -> int:
+    ap = argparse.ArgumentParser(prog="mimamo_tpu",
+                                 description=__doc__.splitlines()[0])
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("predict", help="video -> per-frame (v, a) CSV")
+    p.add_argument("--video", required=True)
+    p.add_argument("--out", default=None, help="output CSV path")
+    p.add_argument("--boxes", default=None, help="precomputed boxes .npy")
+    p.add_argument("--ckpt", default=None, help="orbax checkpoint dir")
+    p.add_argument("--max-frames", type=int, default=None)
+    _add_common(p)
+    p.set_defaults(fn=cmd_predict)
+
+    p = sub.add_parser("extract",
+                       help="video -> aligned crops + 2048-d features")
+    p.add_argument("--video", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--boxes", default=None)
+    p.add_argument("--max-frames", type=int, default=None)
+    _add_common(p)
+    p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("train", help="train on OMG / Aff-Wild2 layout")
+    p.add_argument("--dataset", choices=["omg", "affwild2"], required=True)
+    p.add_argument("--root", required=True)
+    p.add_argument("--manifest", default=None)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--log", default=None, help="metrics JSONL path")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard batches over all devices")
+    _add_common(p)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("eval", help="CCC eval per dataset protocol")
+    p.add_argument("--dataset", choices=["omg", "affwild2"], required=True)
+    p.add_argument("--root", required=True)
+    p.add_argument("--manifest", default=None)
+    p.add_argument("--ckpt", default=None)
+    _add_common(p)
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("bench", help="throughput benchmark (bench.py)")
+    _add_common(p)
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,224 @@
+"""Datasets: OMG-Emotion (utterance-level) and Aff-Wild2 (frame-level).
+
+Reference behavior (SURVEY.md §2 "Datasets / samplers"; mount empty): the
+reference indexes precomputed ResNet features and aligned-crop directories
+produced by its offline extraction step, samples sliding windows of
+snippets, and yields (phase frames, resnet features, label) tuples via
+``torch.utils.data.Dataset``; OMG labels are per-utterance (one (v, a) per
+clip), Aff-Wild2 per-frame with invalid-frame markers.
+
+TPU-first design: a plain-NumPy host pipeline (no worker processes — the
+per-clip compute that the reference did in DataLoader workers lives on
+device) emitting dict batches ``{"clips", "labels", "mask"}`` ready for
+``device_put``; manifests are CSV/npy files so synthetic fixtures can be
+generated in tests (real corpora are offline-unreachable).
+
+Layouts:
+  OMG manifest CSV: columns ``video,utterance,valence,arousal`` where
+    ``<root>/<video>/<utterance>.npy`` holds [T, S, S, 3] uint8 crops.
+  Aff-Wild2: ``<root>/crops/<video>.npy`` [T, S, S, 3] uint8 +
+    ``<root>/annotations/<video>.txt`` with a ``valence,arousal`` header
+    and one "v,a" line per frame (-5 marks invalid frames, masked out).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import ClipSpec
+
+Batch = Dict[str, np.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
+class ClipIndex:
+    """One sample: a window of a source sequence."""
+    source: int        # index into the dataset's sequence table
+    start: int         # first frame of the window
+
+
+class _ClipDataset:
+    """Shared sliding-window clip sampling over variable-length sequences."""
+
+    def __init__(self, clip: ClipSpec):
+        self.clip = clip
+        self._index: List[ClipIndex] = []
+
+    def _build_index(self, lengths: Sequence[int]) -> None:
+        c, s = self.clip.clip_len, self.clip.stride
+        self._index = []
+        for src, t in enumerate(lengths):
+            if t < c:
+                continue
+            starts = list(range(0, t - c + 1, s))
+            if starts[-1] != t - c:
+                starts.append(t - c)
+            self._index.extend(ClipIndex(src, st) for st in starts)
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    # subclasses implement _load(ClipIndex) -> (clips, labels, mask)
+
+    def batches(self, batch_size: int, shuffle: bool = False,
+                seed: int = 0, drop_remainder: bool = False
+                ) -> Iterator[Batch]:
+        order = np.arange(len(self._index))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for i in range(0, len(order), batch_size):
+            sel = order[i:i + batch_size]
+            if drop_remainder and len(sel) < batch_size:
+                return
+            clips, labels, masks = zip(*(self._load(self._index[j])
+                                         for j in sel))
+            yield {"clips": np.stack(clips).astype(np.float32),
+                   "labels": np.stack(labels).astype(np.float32),
+                   "mask": np.stack(masks).astype(np.float32)}
+
+
+class OMGEmotionDataset(_ClipDataset):
+    """OMG-Emotion: utterance-level (v, a) regression.
+
+    Each utterance has ONE label; every clip sampled from it carries that
+    label broadcast over time (the reference trains the same way and
+    evaluates utterance-level — SURVEY.md §3.5).
+    """
+
+    def __init__(self, root: str, manifest_csv: str, clip: ClipSpec):
+        super().__init__(clip)
+        import csv
+        self.root = root
+        self.rows: List[Tuple[str, str, float, float]] = []
+        with open(manifest_csv, newline="") as f:
+            for row in csv.DictReader(f):
+                self.rows.append((row["video"], row["utterance"],
+                                  float(row["valence"]),
+                                  float(row["arousal"])))
+        lengths = []
+        self._paths = []
+        for video, utt, _v, _a in self.rows:
+            path = os.path.join(root, video, utt + ".npy")
+            self._paths.append(path)
+            lengths.append(int(np.load(path, mmap_mode="r").shape[0]))
+        self._build_index(lengths)
+
+    def _load(self, ci: ClipIndex):
+        t = self.clip.clip_len
+        arr = np.load(self._paths[ci.source], mmap_mode="r")
+        clips = np.asarray(arr[ci.start:ci.start + t])
+        _video, _utt, v, a = self.rows[ci.source]
+        labels = np.tile(np.asarray([v, a], np.float32), (t, 1))
+        return clips, labels, np.ones(t, np.float32)
+
+    def utterances(self) -> Iterator[Tuple[int, np.ndarray, np.ndarray]]:
+        """(row index, full crop sequence, (v, a) label) per utterance —
+        the evaluation granularity."""
+        for i, (video, utt, v, a) in enumerate(self.rows):
+            yield i, np.asarray(np.load(self._paths[i])), np.asarray(
+                [v, a], np.float32)
+
+
+class AffWild2Dataset(_ClipDataset):
+    """Aff-Wild2: frame-level (v, a) regression with invalid-frame masks."""
+
+    INVALID = -5.0
+
+    def __init__(self, root: str, videos: Optional[Sequence[str]] = None,
+                 clip: Optional[ClipSpec] = None):
+        super().__init__(clip or ClipSpec())
+        self.root = root
+        crops_dir = os.path.join(root, "crops")
+        if videos is None:
+            videos = sorted(os.path.splitext(f)[0]
+                            for f in os.listdir(crops_dir)
+                            if f.endswith(".npy"))
+        self.videos = list(videos)
+        self._labels: List[np.ndarray] = []
+        self._paths: List[str] = []
+        lengths = []
+        for vid in self.videos:
+            path = os.path.join(crops_dir, vid + ".npy")
+            ann = os.path.join(root, "annotations", vid + ".txt")
+            labels = _read_affwild2_annotations(ann)
+            n = int(np.load(path, mmap_mode="r").shape[0])
+            if len(labels) != n:
+                raise ValueError(
+                    f"{vid}: {n} crops but {len(labels)} annotation rows")
+            self._paths.append(path)
+            self._labels.append(labels)
+            lengths.append(n)
+        self._build_index(lengths)
+
+    def _load(self, ci: ClipIndex):
+        t = self.clip.clip_len
+        arr = np.load(self._paths[ci.source], mmap_mode="r")
+        clips = np.asarray(arr[ci.start:ci.start + t])
+        labels = self._labels[ci.source][ci.start:ci.start + t]
+        mask = (labels != self.INVALID).all(axis=-1).astype(np.float32)
+        return clips, np.where(labels == self.INVALID, 0.0, labels), mask
+
+    def full_videos(self) -> Iterator[
+            Tuple[str, np.ndarray, np.ndarray, np.ndarray]]:
+        """(name, crops, labels, mask) per video — frame-level eval."""
+        for i, vid in enumerate(self.videos):
+            labels = self._labels[i]
+            mask = (labels != self.INVALID).all(axis=-1).astype(np.float32)
+            yield (vid, np.asarray(np.load(self._paths[i])),
+                   np.where(labels == self.INVALID, 0.0, labels), mask)
+
+
+def _read_affwild2_annotations(path: str) -> np.ndarray:
+    with open(path) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    if lines and not lines[0][0].isdigit() and not lines[0].startswith("-"):
+        lines = lines[1:]  # "valence,arousal" header
+    return np.asarray([[float(x) for x in ln.split(",")] for ln in lines],
+                      np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic fixture generation (tests / offline demos)
+# ---------------------------------------------------------------------------
+
+def make_synthetic_omg(root: str, n_videos: int = 2, n_utts: int = 2,
+                       frames: int = 20, size: int = 32,
+                       seed: int = 0) -> str:
+    """Write a synthetic OMG-layout corpus; returns the manifest path."""
+    rng = np.random.default_rng(seed)
+    rows = ["video,utterance,valence,arousal"]
+    for v in range(n_videos):
+        vdir = os.path.join(root, f"video{v}")
+        os.makedirs(vdir, exist_ok=True)
+        for u in range(n_utts):
+            arr = rng.uniform(0, 255, (frames, size, size, 3)).astype(
+                np.uint8)
+            np.save(os.path.join(vdir, f"utt{u}.npy"), arr)
+            val, ar = np.tanh(rng.standard_normal(2)).astype(np.float32)
+            rows.append(f"video{v},utt{u},{val:.4f},{ar:.4f}")
+    manifest = os.path.join(root, "manifest.csv")
+    with open(manifest, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    return manifest
+
+
+def make_synthetic_affwild2(root: str, n_videos: int = 2, frames: int = 24,
+                            size: int = 32, seed: int = 0) -> None:
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "crops"), exist_ok=True)
+    os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
+    for v in range(n_videos):
+        arr = rng.uniform(0, 255, (frames, size, size, 3)).astype(np.uint8)
+        np.save(os.path.join(root, "crops", f"vid{v}.npy"), arr)
+        labels = np.tanh(rng.standard_normal((frames, 2))).astype(
+            np.float32)
+        labels[rng.uniform(size=frames) < 0.1] = AffWild2Dataset.INVALID
+        lines = ["valence,arousal"] + [
+            f"{a:.4f},{b:.4f}" for a, b in labels]
+        with open(os.path.join(root, "annotations", f"vid{v}.txt"),
+                  "w") as f:
+            f.write("\n".join(lines) + "\n")

@@ -1,0 +1,143 @@
+"""Data layer + eval harness + CLI tests on synthetic fixtures."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from mimamo_tpu.data import datasets, eval as eval_mod
+from mimamo_tpu.runner import Mimamo
+
+from test_runner import tiny_config
+
+
+class TestOMG:
+    @pytest.fixture(scope="class")
+    def omg(self, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("omg"))
+        manifest = datasets.make_synthetic_omg(root, n_videos=2, n_utts=2,
+                                               frames=20, size=32)
+        cfg = tiny_config(clip_len=8, stride=4)
+        return datasets.OMGEmotionDataset(root, manifest, cfg.clip), cfg
+
+    def test_windows_and_batches(self, omg):
+        ds, cfg = omg
+        # 4 utterances x starts [0, 4, 8, 12] = 16 clips
+        assert len(ds) == 16
+        batches = list(ds.batches(4))
+        assert len(batches) == 4
+        b = batches[0]
+        assert b["clips"].shape == (4, 8, 32, 32, 3)
+        assert b["labels"].shape == (4, 8, 2)
+        assert b["mask"].shape == (4, 8)
+        # utterance-level labels broadcast over time
+        assert (b["labels"][0] == b["labels"][0][0]).all()
+
+    def test_shuffle_deterministic(self, omg):
+        ds, _ = omg
+        a = [b["labels"][0, 0, 0] for b in ds.batches(4, shuffle=True,
+                                                      seed=7)]
+        b = [b["labels"][0, 0, 0] for b in ds.batches(4, shuffle=True,
+                                                      seed=7)]
+        assert a == b
+
+    def test_utterance_eval(self, omg):
+        ds, cfg = omg
+        model = Mimamo(cfg)
+        variables = model.init_variables(jax.random.PRNGKey(0))
+        out = eval_mod.evaluate_omg(model, variables, ds, chunk=8)
+        assert out["n_utterances"] == 4
+        assert -1.0 <= out["valence_ccc"] <= 1.0
+        assert -1.0 <= out["arousal_ccc"] <= 1.0
+
+
+class TestAffWild2:
+    @pytest.fixture(scope="class")
+    def aw(self, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("affwild2"))
+        datasets.make_synthetic_affwild2(root, n_videos=2, frames=24,
+                                         size=32)
+        cfg = tiny_config(clip_len=8, stride=8)
+        return datasets.AffWild2Dataset(root, clip=cfg.clip), cfg
+
+    def test_frame_labels_and_mask(self, aw):
+        ds, _ = aw
+        assert len(ds) == 6  # 2 videos x starts [0, 8, 16]
+        b = next(ds.batches(6))
+        # invalid frames (-5) are masked and zeroed
+        assert ((b["labels"] >= -1.0) & (b["labels"] <= 1.0)).all()
+        assert set(np.unique(b["mask"])) <= {0.0, 1.0}
+
+    def test_length_mismatch_rejected(self, aw, tmp_path):
+        root = str(tmp_path / "bad")
+        datasets.make_synthetic_affwild2(root, n_videos=1, frames=10,
+                                         size=32)
+        ann = os.path.join(root, "annotations", "vid0.txt")
+        with open(ann) as f:
+            lines = f.read().splitlines()
+        with open(ann, "w") as f:
+            f.write("\n".join(lines[:-2]))
+        with pytest.raises(ValueError, match="annotation rows"):
+            datasets.AffWild2Dataset(root)
+
+    def test_frame_eval(self, aw):
+        ds, cfg = aw
+        model = Mimamo(cfg)
+        variables = model.init_variables(jax.random.PRNGKey(0))
+        out = eval_mod.evaluate_affwild2(model, variables, ds, chunk=10)
+        assert out["n_frames"] > 0
+        assert -1.0 <= out["mean_ccc"] <= 1.0
+
+
+class TestCCCNp:
+    def test_matches_jax_ccc(self):
+        from mimamo_tpu import losses
+        import jax.numpy as jnp
+        rng = np.random.default_rng(0)
+        p = rng.standard_normal((100, 2))
+        y = rng.standard_normal((100, 2))
+        np.testing.assert_allclose(
+            eval_mod.ccc_np(p, y),
+            np.asarray(losses.ccc(jnp.asarray(p), jnp.asarray(y))),
+            atol=1e-5)
+
+
+class TestCLI:
+    def test_train_then_eval_omg(self, tmp_path):
+        """Full CLI loop on a synthetic corpus: train 2 epochs w/ orbax
+        checkpointing, then eval from the checkpoint."""
+        import subprocess
+        import sys
+        root = str(tmp_path / "omg")
+        os.makedirs(root)
+        manifest = datasets.make_synthetic_omg(root, n_videos=1, n_utts=2,
+                                               frames=12, size=32)
+        ckpt = str(tmp_path / "ckpt")
+        common = ["--clip-len", "8", "--stride", "4", "--crop-size", "32",
+                  "--backbone-size", "32", "--pyramid-height", "2",
+                  "--phase-size", "16", "--cpu"]
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH="/root/repo")
+        r = subprocess.run(
+            [sys.executable, "-m", "mimamo_tpu.cli", "train",
+             "--dataset", "omg", "--root", root, "--manifest", manifest,
+             "--ckpt", ckpt, "--epochs", "2", "--batch", "2"] + common,
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=560)
+        assert r.returncode == 0, r.stderr[-2000:]
+        rows = [json.loads(ln) for ln in r.stdout.splitlines()
+                if ln.startswith("{")]
+        assert len(rows) == 2 and "loss" in rows[0]
+        assert os.path.exists(ckpt + ".metrics.jsonl")
+
+        r = subprocess.run(
+            [sys.executable, "-m", "mimamo_tpu.cli", "eval",
+             "--dataset", "omg", "--root", root, "--manifest", manifest,
+             "--ckpt", ckpt] + common,
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=560)
+        assert r.returncode == 0, r.stderr[-2000:]
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        assert out["n_utterances"] == 2
