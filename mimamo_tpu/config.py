@@ -117,7 +117,12 @@ class MimamoConfig:
     temporal: TemporalSpec = TemporalSpec()
     clip: ClipSpec = ClipSpec()
     train: TrainSpec = TrainSpec()
-    use_pallas: bool = True      # fused phase kernel on TPU (auto-fallback)
+    # Use the Pallas fused phase-diff kernel (pallas/phase_kernel.py) on
+    # TPU. Default False: measured on v5e 2026-08-16, XLA's own fusion of
+    # the same chain is faster at flagship shapes (11.6k vs 8.8k frames/s
+    # on the phase path) — the kernel is kept, tested, and parity-checked
+    # (4.8e-7) for shapes where a hand-fused pipeline wins.
+    use_pallas: bool = False
 
     @property
     def num_phase(self) -> int:

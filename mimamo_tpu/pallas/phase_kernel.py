@@ -1,0 +1,147 @@
+"""Pallas TPU kernel: fused phase-difference + bilinear-resize.
+
+The post-FFT chain of the micro-motion path is
+``angle(c_t * conj(c_{t-1}))`` followed by a bilinear resize to
+``phase_size``. In the XLA path (phase.py) the full-resolution wrapped
+phase tensor ([B, T-1, K, h_s, w_s] float32 — ~600 MB for the flagship
+batch at scale 0) round-trips through HBM between the elementwise atan2
+and the resize matmuls, because XLA does not fuse producers into dot
+operands. This kernel keeps the whole chain in VMEM: one grid step loads
+a band-pair tile, forms the complex product, takes atan2 on the VPU, and
+immediately contracts with the two small interpolation matrices on the
+MXU, writing only the [P, P] result.
+
+FFTs stay in XLA — Pallas has no FFT primitive (SURVEY.md §7 hard part
+2); the kernel boundary is exactly "everything after the iFFT".
+
+Accumulation is fp32 throughout (phase wraps are precision-sensitive);
+inputs may be bf16 real/imag pairs, the atan2 runs in fp32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..phase import _resize_matrix
+
+
+# Odd minimax polynomial for atan(t), t in [0, 1]: atan(t) = t * P(t^2).
+# Least-squares fit on Chebyshev nodes, max error 8.8e-8 rad (fit logged
+# in the repo history). Mosaic has no atan2 lowering, so the kernel
+# implements it from primitive ops (guide: "if something is not available
+# in pallas, implement it").
+_ATAN_COEFFS = (
+    9.999999582e-01, -3.333230283e-01, 1.997368115e-01, -1.404013684e-01,
+    9.967915930e-02, -6.021899162e-02, 2.475666561e-02, -4.831131187e-03,
+)
+
+
+def _atan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise atan2 from primitives (VPU-friendly, branch-free)."""
+    abs_y, abs_x = jnp.abs(y), jnp.abs(x)
+    big = jnp.maximum(abs_x, abs_y)
+    small = jnp.minimum(abs_x, abs_y)
+    t = small / jnp.maximum(big, jnp.float32(1e-30))   # in [0, 1]
+    z = t * t
+    poly = jnp.float32(_ATAN_COEFFS[-1])
+    for c in _ATAN_COEFFS[-2::-1]:
+        poly = poly * z + jnp.float32(c)
+    a = t * poly
+    half_pi = jnp.float32(np.pi / 2)
+    a = jnp.where(abs_y > abs_x, half_pi - a, a)       # octant fold
+    a = jnp.where(x < 0, jnp.float32(np.pi) - a, a)    # left half-plane
+    return jnp.where(y < 0, -a, a)                     # sign of y
+
+
+def _kernel(ct_re, ct_im, cp_re, cp_im, rh, rw, out):
+    a_re = ct_re[0].astype(jnp.float32)
+    a_im = ct_im[0].astype(jnp.float32)
+    b_re = cp_re[0].astype(jnp.float32)
+    b_im = cp_im[0].astype(jnp.float32)
+    # c_t * conj(c_prev): product form keeps the wrap branch-free (A.2).
+    prod_re = a_re * b_re + a_im * b_im
+    prod_im = a_im * b_re - a_re * b_im
+    dphi = _atan2(prod_im, prod_re)
+    # HIGHEST precision: plain f32 dots round through bf16 on the MXU,
+    # blowing the 1e-3 phase parity budget (see phase.resize_bilinear).
+    tmp = jnp.dot(rh[:], dphi, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    out[0] = jnp.dot(tmp, rw[:], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=("phase_size", "interpret"))
+def phase_diff_resize(c_t: jnp.ndarray, c_prev: jnp.ndarray,
+                      phase_size: int = 48,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Fused ``resize(angle(c_t * conj(c_prev)))`` for one pyramid scale.
+
+    Args:
+      c_t, c_prev: [..., h, w] complex band coefficients (same shape).
+      phase_size: output resolution P.
+      interpret: run in the Pallas interpreter (CPU testing).
+
+    Returns:
+      [..., P, P] float32 resized wrapped phase differences.
+    """
+    if c_t.shape != c_prev.shape:
+        raise ValueError(f"shape mismatch {c_t.shape} vs {c_prev.shape}")
+    lead = c_t.shape[:-2]
+    h, w = c_t.shape[-2:]
+    p = phase_size
+    n = int(np.prod(lead)) if lead else 1
+
+    ct = c_t.reshape(n, h, w)
+    cp = c_prev.reshape(n, h, w)
+    rh = jnp.asarray(_resize_matrix(h, p))          # [P, h]
+    rw = jnp.asarray(_resize_matrix(w, p)).T        # [w, P]
+
+    band_spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(n,),
+        in_specs=[band_spec, band_spec, band_spec, band_spec,
+                  pl.BlockSpec((p, h), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((w, p), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, p, p), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, p, p), jnp.float32),
+        interpret=interpret,
+    )(ct.real, ct.imag, cp.real, cp.imag, rh, rw)
+    return out.reshape(lead + (p, p))
+
+
+def micro_motion_features_fused(frames: jnp.ndarray, pyramid_spec,
+                                phase_spec,
+                                interpret: bool = False) -> jnp.ndarray:
+    """Drop-in fused replacement for ``phase.micro_motion_features``.
+
+    Same contract: [B, T, H, W] grayscale -> [B, T-1, S*K, P, P].
+    FFT + mask multiply run in XLA; the atan2 + resize chain runs in the
+    Pallas kernel per scale.
+    """
+    from .. import pyramid as pyr_mod
+
+    masks = pyr_mod.make_masks(pyramid_spec)
+    x = jnp.fft.fftshift(jnp.fft.fft2(frames.astype(jnp.float32)),
+                         axes=(-2, -1))
+    p = phase_spec.phase_size
+    chans = []
+    for s in range(pyramid_spec.height):
+        xc = pyr_mod._crop(x, s)[..., None, :, :]
+        band = jnp.fft.ifft2(
+            jnp.fft.ifftshift(xc * masks["bands"][s], axes=(-2, -1)))
+        chans.append(phase_diff_resize(band[:, 1:], band[:, :-1],
+                                       phase_size=p, interpret=interpret))
+    return jnp.concatenate(chans, axis=2)

@@ -54,8 +54,12 @@ def resize_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     h, w = x.shape[-2], x.shape[-1]
     rh = _resize_matrix(h, out_hw[0])
     rw = _resize_matrix(w, out_hw[1])
+    # HIGHEST: TPU f32 matmuls otherwise round inputs to bf16 on the MXU,
+    # costing ~8e-3 absolute error on phase values in (-pi, pi] — over the
+    # 1e-3 phase-map parity budget (BASELINE.json).
     return jnp.einsum("ph,...hw,qw->...pq", rh, x, rw,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def phase_diff(c_t: jnp.ndarray, c_prev: jnp.ndarray) -> jnp.ndarray:

@@ -34,6 +34,12 @@ Variables = Dict[str, Any]
 Carries = Tuple[jnp.ndarray, jnp.ndarray]
 
 
+def _on_tpu() -> bool:
+    """True when the default backend is a TPU (incl. the axon plugin)."""
+    dev = jax.devices()[0]
+    return "tpu" in (dev.platform + " " + dev.device_kind).lower()
+
+
 class Mimamo:
     """Bundles config + module defs + jitted programs.
 
@@ -97,12 +103,26 @@ class Mimamo:
         """
         cfg = self.config
         gray = preprocess.to_grayscale(crops_rgb)
-        phase_stacks = micro_motion_features(gray, cfg.pyramid, cfg.phase)
+        phase_stacks = self._micro_motion(gray)
         emb = self.embed_frames(variables, crops_rgb)
         if include_first_pair:
             emb = emb[:, 1:]
         return self.temporal.apply(variables["temporal"], phase_stacks,
                                    emb, carries)
+
+    def _micro_motion(self, gray: jnp.ndarray) -> jnp.ndarray:
+        """Micro-motion features, fused Pallas kernel when applicable.
+
+        Trace-time dispatch: the fused path needs a real TPU (Mosaic) and
+        does not implement amplitude weighting.
+        """
+        cfg = self.config
+        if (cfg.use_pallas and not cfg.phase.amplitude_weighting
+                and _on_tpu()):
+            from .pallas.phase_kernel import micro_motion_features_fused
+            return micro_motion_features_fused(gray, cfg.pyramid,
+                                               cfg.phase)
+        return micro_motion_features(gray, cfg.pyramid, cfg.phase)
 
     # -- jitted entry points ------------------------------------------------
 

@@ -1,0 +1,47 @@
+"""Pallas fused phase kernel == XLA reference path (interpreter mode on
+CPU; the real-TPU run is exercised by bench.py / the driver)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mimamo_tpu.config import PhaseSpec, PyramidSpec
+from mimamo_tpu import phase
+from mimamo_tpu.pallas import phase_kernel
+
+
+PYR = PyramidSpec(height=3, orientations=4, input_size=(64, 64))
+PH = PhaseSpec(phase_size=48)
+
+
+class TestFusedKernel:
+    def test_phase_diff_resize_matches_xla(self):
+        rng = np.random.default_rng(0)
+        shape = (2, 3, 4, 32, 32)
+        c_t = (rng.standard_normal(shape) +
+               1j * rng.standard_normal(shape)).astype(np.complex64)
+        c_p = (rng.standard_normal(shape) +
+               1j * rng.standard_normal(shape)).astype(np.complex64)
+        want = phase.resize_bilinear(
+            phase.phase_diff(jnp.asarray(c_t), jnp.asarray(c_p)), (48, 48))
+        got = phase_kernel.phase_diff_resize(
+            jnp.asarray(c_t), jnp.asarray(c_p), phase_size=48,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=0)
+
+    def test_micro_motion_fused_matches_unfused(self):
+        rng = np.random.default_rng(1)
+        frames = jnp.asarray(
+            rng.uniform(0, 255, (1, 5, 64, 64)).astype(np.float32))
+        want = np.asarray(phase.micro_motion_features(frames, PYR, PH))
+        got = np.asarray(phase_kernel.micro_motion_features_fused(
+            frames, PYR, PH, interpret=True))
+        assert got.shape == want.shape == (1, 4, 12, 48, 48)
+        np.testing.assert_allclose(got, want, atol=1e-3, rtol=0)
+
+    def test_shape_mismatch_rejected(self):
+        a = jnp.zeros((2, 8, 8), jnp.complex64)
+        b = jnp.zeros((3, 8, 8), jnp.complex64)
+        with np.testing.assert_raises(ValueError):
+            phase_kernel.phase_diff_resize(a, b, interpret=True)
