@@ -175,6 +175,34 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_predict_corpus(args) -> int:
+    _setup_backend(args)
+    import glob as globmod
+
+    import jax
+
+    from . import checkpoints, parallel, train
+    from .corpus import CorpusRunner
+    from .runner import Mimamo
+
+    config = _config(args)
+    model = Mimamo(config)
+    state, _tx = train.create_train_state(model, jax.random.PRNGKey(0))
+    if args.ckpt:
+        state = checkpoints.restore(args.ckpt, state)
+    variables = train.variables_from_state(state)
+    paths = sorted(globmod.glob(args.videos))
+    if not paths:
+        raise SystemExit(f"no videos match {args.videos!r}")
+    mesh = parallel.make_mesh() if args.data_parallel else None
+    runner = CorpusRunner(model, variables, args.out_dir,
+                          batch_clips=args.batch, mesh=mesh,
+                          loader_threads=args.threads,
+                          use_native=not args.no_native)
+    print(json.dumps(runner.run(paths)))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
     cmd = [sys.executable, "bench.py", "--dtype", args.dtype,
@@ -230,6 +258,23 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--ckpt", default=None)
     _add_common(p)
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser(
+        "predict-corpus",
+        help="checkpointed batched inference over a video corpus")
+    p.add_argument("--videos", required=True,
+                   help="glob of video files, e.g. 'corpus/*.mp4'")
+    p.add_argument("--out-dir", required=True,
+                   help="CSV + resume-manifest directory")
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--batch", type=int, default=8, help="clips per step")
+    p.add_argument("--threads", type=int, default=4,
+                   help="native loader threads")
+    p.add_argument("--no-native", action="store_true",
+                   help="force the pure-Python loader")
+    p.add_argument("--data-parallel", action="store_true")
+    _add_common(p)
+    p.set_defaults(fn=cmd_predict_corpus)
 
     p = sub.add_parser("bench", help="throughput benchmark (bench.py)")
     _add_common(p)

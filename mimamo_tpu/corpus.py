@@ -1,0 +1,185 @@
+"""Checkpointed corpus runner: 1k-video-scale batched inference.
+
+BASELINE.json config 5 ("pod-slice throughput run: decode -> crop ->
+pyramid -> GRU over 1k-video corpus, data-parallel sharding") plus the
+failure-recovery plan from SURVEY.md §5: a killed run resumes from the
+last completed video via a JSONL manifest — the reference has no
+equivalent (its demo processes one video per script invocation).
+
+Pipeline: C++ native loader threads (decode/track/crop, bounded queue;
+pure-Python fallback) -> fixed-size clip batches -> jitted (optionally
+mesh-sharded) predict -> per-video overlap-averaged (valence, arousal)
+CSV + manifest append on each video's end-of-stream sentinel.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .runner import Mimamo
+from . import parallel
+
+
+class CorpusRunner:
+    def __init__(self, model: Mimamo, variables, out_dir: str,
+                 batch_clips: int = 8, mesh=None,
+                 loader_threads: int = 4, use_native: bool = True):
+        self.model = model
+        self.variables = variables
+        self.out_dir = out_dir
+        self.batch_clips = batch_clips
+        self.mesh = mesh
+        self.loader_threads = loader_threads
+        self.use_native = use_native
+        os.makedirs(out_dir, exist_ok=True)
+        self.manifest_path = os.path.join(out_dir, "manifest.jsonl")
+
+    # -- resume bookkeeping --------------------------------------------------
+
+    def _completed(self) -> Dict[str, dict]:
+        done = {}
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                for line in f:
+                    if line.strip():
+                        row = json.loads(line)
+                        done[row["video"]] = row
+        return done
+
+    def _mark_done(self, row: dict) -> None:
+        with open(self.manifest_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    # -- main loop -----------------------------------------------------------
+
+    def run(self, video_paths: Sequence[str]) -> dict:
+        done = self._completed()
+        todo = [p for p in video_paths if p not in done]
+        skipped = len(video_paths) - len(todo)
+        if not todo:
+            return {"videos": 0, "resumed_skipped": skipped, "frames": 0,
+                    "sec": 0.0, "fps": 0.0}
+
+        cfg = self.model.config.clip
+        t0 = time.time()
+        stats = {"videos": 0, "failed": 0, "frames": 0,
+                 "resumed_skipped": skipped}
+        # Per-video accumulators: window preds + starts until the sentinel.
+        acc: Dict[int, dict] = {}
+        pend_clips: List[np.ndarray] = []
+        pend_meta: List[tuple] = []
+
+        def flush():
+            if not pend_clips:
+                return
+            batch = np.stack(pend_clips).astype(np.float32)
+            pad = self.batch_clips - len(pend_clips)
+            if pad:
+                batch = np.pad(batch,
+                               [(0, pad)] + [(0, 0)] * (batch.ndim - 1))
+            import jax.numpy as jnp
+            x = jnp.asarray(batch)
+            if self.mesh is not None:
+                out = self.model.predict_batch(self.variables, x,
+                                               self.mesh)
+            else:
+                out = self.model.predict_clips(self.variables, x)
+            out = np.asarray(out)[:len(pend_clips)]
+            for (vi, start), pred in zip(pend_meta, out):
+                a = acc.setdefault(vi, {"preds": [], "starts": []})
+                a["preds"].append(pred)
+                a["starts"].append(start)
+            pend_clips.clear()
+            pend_meta.clear()
+
+        def finalize(vi: int, total_frames: int):
+            path = todo[vi]
+            name = os.path.splitext(os.path.basename(path))[0]
+            if total_frames < 0:
+                stats["failed"] += 1
+                self._mark_done({"video": path, "status": "decode_failed"})
+                return
+            a = acc.pop(vi, None)
+            if a is None or total_frames < cfg.clip_len:
+                self._mark_done({"video": path, "status": "too_short",
+                                 "frames": total_frames})
+                return
+            from .preprocess import merge_window_predictions
+            import jax.numpy as jnp
+            series = np.asarray(merge_window_predictions(
+                jnp.asarray(np.stack(a["preds"])),
+                np.asarray(a["starts"], np.int32), total_frames))
+            out_csv = os.path.join(self.out_dir, name + ".csv")
+            with open(out_csv, "w") as f:
+                f.write("frame,valence,arousal\n")
+                for i, (v, ar) in enumerate(series):
+                    f.write(f"{i},{v:.6f},{ar:.6f}\n")
+            stats["videos"] += 1
+            stats["frames"] += total_frames
+            self._mark_done({"video": path, "status": "ok",
+                             "frames": total_frames, "csv": out_csv})
+
+        for clip, vi, start in self._clip_stream(todo):
+            if vi < 0:                      # end-of-video sentinel
+                flush()                     # its clips must be predicted
+                finalize(~vi, start)
+                continue
+            pend_clips.append(clip)
+            pend_meta.append((vi, start))
+            if len(pend_clips) == self.batch_clips:
+                flush()
+        flush()
+        for vi in list(acc):                # defensive: stream ended early
+            finalize(vi, max(s + cfg.clip_len
+                             for s in acc[vi]["starts"]))
+
+        stats["sec"] = round(time.time() - t0, 2)
+        stats["fps"] = round(stats["frames"] / stats["sec"], 1) \
+            if stats["sec"] else 0.0
+        return stats
+
+    def _clip_stream(self, paths: Sequence[str]):
+        cfg = self.model.config.clip
+        if self.use_native:
+            from .io import native_loader
+            if native_loader.available():
+                with native_loader.NativeCorpusLoader(
+                        paths, cfg.clip_len, cfg.stride, cfg.crop_size,
+                        n_threads=self.loader_threads) as loader:
+                    yield from loader
+                return
+        yield from self._python_clip_stream(paths)
+
+    def _python_clip_stream(self, paths: Sequence[str]):
+        """Pure-Python fallback: sequential decode + boxes + host crop."""
+        import cv2
+        from .io import decode
+        cfg = self.model.config.clip
+        for vi, path in enumerate(paths):
+            try:
+                frames, boxes = decode.load_video_with_boxes(path)
+            except (FileNotFoundError, ValueError):
+                yield None, ~vi, -1
+                continue
+            t = frames.shape[0]
+            if t >= cfg.clip_len:
+                crops = np.stack([
+                    cv2.resize(
+                        frames[i][int(b[0]):int(b[0] + b[2]),
+                                  int(b[1]):int(b[1] + b[3])],
+                        (cfg.crop_size, cfg.crop_size),
+                        interpolation=cv2.INTER_LINEAR)
+                    for i, b in enumerate(boxes)])
+                starts = list(range(0, t - cfg.clip_len + 1, cfg.stride))
+                if starts[-1] != t - cfg.clip_len:
+                    starts.append(t - cfg.clip_len)
+                for s in starts:
+                    yield crops[s:s + cfg.clip_len], vi, s
+            yield None, ~vi, t

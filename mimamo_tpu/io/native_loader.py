@@ -1,0 +1,145 @@
+"""ctypes bindings for the native C++ corpus loader (native/loader.cpp).
+
+The native library replaces the reference's OpenFace-subprocess +
+DataLoader-worker input path (SURVEY.md §2) with in-process C++ threads:
+decode -> Haar face detect/track -> crop/resize -> bounded clip queue.
+Falls back to the pure-Python path (io/decode.py + preprocess.py) when the
+.so has not been built (``make -C native``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import threading
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_LIB_PATHS = (
+    os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                 "libmimamo_native.so"),
+    "libmimamo_native.so",
+)
+
+
+def _cascade_xml() -> str:
+    try:
+        import cv2
+        path = os.path.join(cv2.data.haarcascades,
+                            "haarcascade_frontalface_default.xml")
+        return path if os.path.exists(path) else ""
+    except ImportError:
+        return ""
+
+
+def _load_lib() -> Optional[ctypes.CDLL]:
+    for p in _LIB_PATHS:
+        try:
+            lib = ctypes.CDLL(os.path.abspath(p) if os.path.sep in p else p)
+        except OSError:
+            continue
+        lib.ml_corpus_open.restype = ctypes.c_void_p
+        lib.ml_corpus_open.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int]
+        lib.ml_corpus_next.restype = ctypes.c_int
+        lib.ml_corpus_next.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        lib.ml_corpus_frames_decoded.restype = ctypes.c_long
+        lib.ml_corpus_frames_decoded.argtypes = [ctypes.c_void_p]
+        lib.ml_corpus_close.restype = None
+        lib.ml_corpus_close.argtypes = [ctypes.c_void_p]
+        lib.ml_decode_video.restype = ctypes.c_int
+        lib.ml_decode_video.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float)]
+        return lib
+    return None
+
+
+_LIB = _load_lib()
+
+
+def available() -> bool:
+    return _LIB is not None
+
+
+class NativeCorpusLoader:
+    """Threaded C++ clip stream over a list of video files.
+
+    Yields (clip [clip_len, crop, crop, 3] uint8, video_idx, start_frame).
+    """
+
+    def __init__(self, paths: Sequence[str], clip_len: int, stride: int,
+                 crop: int, queue_cap: int = 16, n_threads: int = 4,
+                 detect_every: int = 8):
+        if _LIB is None:
+            raise RuntimeError(
+                "native loader not built; run `make -C native`")
+        self.clip_len, self.crop = clip_len, crop
+        arr = (ctypes.c_char_p * len(paths))(
+            *[p.encode() for p in paths])
+        self._handle = _LIB.ml_corpus_open(
+            arr, len(paths), clip_len, stride, crop, queue_cap, n_threads,
+            _cascade_xml().encode(), detect_every)
+        if not self._handle:
+            raise RuntimeError("ml_corpus_open failed (bad args?)")
+        self._lock = threading.Lock()
+        self._closed = False
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, int, int]]:
+        buf = np.empty((self.clip_len, self.crop, self.crop, 3), np.uint8)
+        vi = ctypes.c_int32()
+        sf = ctypes.c_int32()
+        while True:
+            with self._lock:
+                if self._closed:
+                    return
+                ok = _LIB.ml_corpus_next(
+                    self._handle,
+                    buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    ctypes.byref(vi), ctypes.byref(sf))
+            if not ok:
+                return
+            yield buf.copy(), int(vi.value), int(sf.value)
+
+    def frames_decoded(self) -> int:
+        with self._lock:
+            if self._closed:
+                return 0
+            return int(_LIB.ml_corpus_frames_decoded(self._handle))
+
+    def close(self) -> None:
+        with self._lock:
+            if not self._closed:
+                _LIB.ml_corpus_close(self._handle)
+                self._closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def decode_video_native(path: str, crop: int, max_frames: int = 100000,
+                        detect_every: int = 8
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Single video -> ([T, crop, crop, 3] uint8 crops, [T, 4] boxes)."""
+    if _LIB is None:
+        raise RuntimeError("native loader not built; run `make -C native`")
+    out = np.empty((max_frames, crop, crop, 3), np.uint8)
+    boxes = np.empty((max_frames, 4), np.float32)
+    n = _LIB.ml_decode_video(
+        path.encode(), crop, _cascade_xml().encode(), detect_every,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), max_frames,
+        boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if n < 0:
+        raise FileNotFoundError(f"cannot open video: {path}")
+    if n == 0:
+        raise ValueError(f"no frames decoded from {path}")
+    return out[:n].copy(), boxes[:n].copy()

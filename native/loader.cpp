@@ -1,0 +1,292 @@
+// mimamo_native: multithreaded host-side video -> face-crop clip loader.
+//
+// Role: the reference pipeline's only native code was the external OpenFace
+// C++ binary (face detect/align/crop, one process + one image file per
+// frame) plus torch DataLoader worker processes (SURVEY.md §2, §3.3). This
+// library replaces both with an in-process C++ pipeline: N worker threads
+// decode videos (OpenCV VideoCapture), detect/track faces (Haar cascade,
+// re-detected every K frames, held in between — same no-face policy as the
+// reference), square-expand + crop + bilinear-resize, and emit fixed-size
+// [clip_len, crop, crop, 3] RGB uint8 clips into a bounded queue that the
+// Python/JAX side drains and ships to the TPU. No disk round-trips, no
+// GIL, no per-frame subprocess.
+//
+// C ABI (ctypes-friendly), see mimamo_tpu/io/native_loader.py for the
+// Python wrapper and graceful fallback.
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <memory>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <opencv2/core.hpp>
+#include <opencv2/imgproc.hpp>
+#include <opencv2/objdetect.hpp>
+#include <opencv2/videoio.hpp>
+
+namespace {
+
+struct Clip {
+  std::vector<uint8_t> data;  // [clip_len, crop, crop, 3] RGB
+  int32_t video_idx = 0;
+  int32_t start_frame = 0;
+};
+
+struct BoundedQueue {
+  std::deque<Clip> q;
+  std::mutex mu;
+  std::condition_variable not_empty, not_full;
+  size_t cap = 8;
+  bool closed = false;
+
+  void push(Clip&& c) {
+    std::unique_lock<std::mutex> lk(mu);
+    not_full.wait(lk, [&] { return q.size() < cap || closed; });
+    if (closed) return;
+    q.push_back(std::move(c));
+    not_empty.notify_one();
+  }
+  bool pop(Clip* out) {
+    std::unique_lock<std::mutex> lk(mu);
+    not_empty.wait(lk, [&] { return !q.empty() || closed; });
+    if (q.empty()) return false;
+    *out = std::move(q.front());
+    q.pop_front();
+    not_full.notify_one();
+    return true;
+  }
+  void close() {
+    std::lock_guard<std::mutex> lk(mu);
+    closed = true;
+    not_empty.notify_all();
+    not_full.notify_all();
+  }
+};
+
+struct FaceTracker {
+  cv::CascadeClassifier cascade;
+  bool enabled = false;
+  int detect_every = 8;
+  float margin = 0.25f;
+  cv::Rect2f last;
+  bool has_last = false;
+
+  void reset() { has_last = false; }
+
+  // Returns a square crop rect for this frame (detect or hold-last).
+  cv::Rect2f box_for(const cv::Mat& rgb, int frame_idx) {
+    const float h = static_cast<float>(rgb.rows);
+    const float w = static_cast<float>(rgb.cols);
+    if (enabled && frame_idx % detect_every == 0) {
+      cv::Mat gray;
+      cv::cvtColor(rgb, gray, cv::COLOR_RGB2GRAY);
+      std::vector<cv::Rect> found;
+      cascade.detectMultiScale(gray, found, 1.2, 4, 0,
+                               cv::Size(rgb.rows / 8, rgb.cols / 8));
+      if (!found.empty()) {
+        const cv::Rect* best = &found[0];
+        for (const auto& r : found)
+          if (r.area() > best->area()) best = &r;
+        float side = std::max(best->width, best->height) * (1.f + margin);
+        float cy = best->y + best->height / 2.f;
+        float cx = best->x + best->width / 2.f;
+        float y0 = std::max(0.f, std::min(cy - side / 2.f, h - 1.f));
+        float x0 = std::max(0.f, std::min(cx - side / 2.f, w - 1.f));
+        side = std::min({side, h - y0, w - x0});
+        last = cv::Rect2f(x0, y0, side, side);
+        has_last = true;
+      }
+    }
+    if (!has_last) {
+      float side = std::min(h, w);
+      last = cv::Rect2f((w - side) / 2.f, (h - side) / 2.f, side, side);
+      has_last = true;
+    }
+    return last;
+  }
+};
+
+void crop_resize_into(const cv::Mat& rgb, const cv::Rect2f& box, int crop,
+                      uint8_t* dst) {
+  cv::Rect r(static_cast<int>(box.x), static_cast<int>(box.y),
+             static_cast<int>(box.width), static_cast<int>(box.height));
+  r &= cv::Rect(0, 0, rgb.cols, rgb.rows);
+  if (r.width < 1 || r.height < 1) r = cv::Rect(0, 0, rgb.cols, rgb.rows);
+  cv::Mat out(crop, crop, CV_8UC3, dst);
+  cv::resize(rgb(r), out, out.size(), 0, 0, cv::INTER_LINEAR);
+}
+
+struct Corpus {
+  std::vector<std::string> paths;
+  int clip_len, stride, crop, detect_every;
+  std::string cascade_path;
+  BoundedQueue queue;
+  std::vector<std::thread> workers;
+  std::atomic<int> next_video{0};
+  std::atomic<int> active_workers{0};
+  std::atomic<long> frames_decoded{0};
+
+  void worker() {
+    FaceTracker tracker;
+    if (!cascade_path.empty() && tracker.cascade.load(cascade_path))
+      tracker.enabled = true;
+    tracker.detect_every = detect_every;
+
+    const size_t clip_bytes =
+        static_cast<size_t>(clip_len) * crop * crop * 3;
+    for (;;) {
+      int vi = next_video.fetch_add(1);
+      if (vi >= static_cast<int>(paths.size())) break;
+      cv::VideoCapture cap(paths[vi]);
+      if (!cap.isOpened()) {
+        Clip fail;  // sentinel with start_frame = -1: decode failure
+        fail.video_idx = ~vi;
+        fail.start_frame = -1;
+        queue.push(std::move(fail));
+        continue;
+      }
+      tracker.reset();
+
+      // Sliding window over the decode stream: keep a rolling buffer of
+      // the last clip_len cropped frames; emit at every stride.
+      std::deque<std::vector<uint8_t>> window;
+      cv::Mat bgr, rgb;
+      int frame_idx = 0;
+      int emitted_end = 0;  // frame index after the last emitted window
+      while (cap.read(bgr)) {
+        cv::cvtColor(bgr, rgb, cv::COLOR_BGR2RGB);
+        cv::Rect2f box = tracker.box_for(rgb, frame_idx);
+        std::vector<uint8_t> cropped(static_cast<size_t>(crop) * crop * 3);
+        crop_resize_into(rgb, box, crop, cropped.data());
+        window.push_back(std::move(cropped));
+        if (static_cast<int>(window.size()) > clip_len) window.pop_front();
+        ++frame_idx;
+        frames_decoded.fetch_add(1);
+        bool boundary = (frame_idx >= clip_len) &&
+                        ((frame_idx - clip_len) % stride == 0);
+        if (boundary) {
+          Clip c;
+          c.data.resize(clip_bytes);
+          size_t off = 0;
+          for (const auto& f : window) {
+            std::memcpy(c.data.data() + off, f.data(), f.size());
+            off += f.size();
+          }
+          c.video_idx = vi;
+          c.start_frame = frame_idx - clip_len;
+          emitted_end = frame_idx;
+          queue.push(std::move(c));
+        }
+      }
+      // Right-aligned tail window so every frame is covered (matches
+      // preprocess.sliding_windows).
+      if (frame_idx >= clip_len && emitted_end < frame_idx) {
+        Clip c;
+        c.data.resize(clip_bytes);
+        size_t off = 0;
+        for (const auto& f : window) {
+          std::memcpy(c.data.data() + off, f.data(), f.size());
+          off += f.size();
+        }
+        c.video_idx = vi;
+        c.start_frame = frame_idx - clip_len;
+        queue.push(std::move(c));
+      }
+      // End-of-video sentinel (empty payload): video_idx = ~vi,
+      // start_frame = total decoded frames. Lets the consumer finalize
+      // per-video outputs incrementally (checkpointed corpus runs).
+      Clip eov;
+      eov.video_idx = ~vi;
+      eov.start_frame = frame_idx;
+      queue.push(std::move(eov));
+    }
+    if (active_workers.fetch_sub(1) == 1) queue.close();
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* ml_corpus_open(const char** paths, int n_videos, int clip_len,
+                     int stride, int crop, int queue_cap, int n_threads,
+                     const char* cascade_xml, int detect_every) {
+  if (n_videos <= 0 || clip_len <= 0 || stride <= 0 || crop <= 0)
+    return nullptr;
+  auto* c = new Corpus();
+  c->paths.assign(paths, paths + n_videos);
+  c->clip_len = clip_len;
+  c->stride = stride;
+  c->crop = crop;
+  c->detect_every = detect_every > 0 ? detect_every : 8;
+  c->cascade_path = cascade_xml ? cascade_xml : "";
+  c->queue.cap = queue_cap > 0 ? queue_cap : 8;
+  int n = n_threads > 0 ? n_threads : 4;
+  c->active_workers = n;
+  for (int i = 0; i < n; ++i)
+    c->workers.emplace_back([c] { c->worker(); });
+  return c;
+}
+
+// Fills out_clip [clip_len*crop*crop*3] uint8. Returns 1 on success,
+// 0 when the corpus is exhausted.
+int ml_corpus_next(void* handle, uint8_t* out_clip, int32_t* out_video_idx,
+                   int32_t* out_start_frame) {
+  auto* c = static_cast<Corpus*>(handle);
+  Clip clip;
+  if (!c->queue.pop(&clip)) return 0;
+  if (!clip.data.empty())
+    std::memcpy(out_clip, clip.data.data(), clip.data.size());
+  *out_video_idx = clip.video_idx;  // negative (~vi): end-of-video marker
+  *out_start_frame = clip.start_frame;
+  return 1;
+}
+
+long ml_corpus_frames_decoded(void* handle) {
+  return static_cast<Corpus*>(handle)->frames_decoded.load();
+}
+
+void ml_corpus_close(void* handle) {
+  auto* c = static_cast<Corpus*>(handle);
+  c->queue.close();
+  c->next_video.store(1 << 30);  // stop claiming new videos
+  for (auto& t : c->workers) t.join();
+  delete c;
+}
+
+// Single-video convenience: decode + track + crop the whole video into
+// caller-allocated [n_frames, crop, crop, 3]. Returns frames written.
+int ml_decode_video(const char* path, int crop, const char* cascade_xml,
+                    int detect_every, uint8_t* out, int max_frames,
+                    float* out_boxes /* [max_frames, 4] or null */) {
+  cv::VideoCapture cap(path);
+  if (!cap.isOpened()) return -1;
+  FaceTracker tracker;
+  if (cascade_xml && *cascade_xml && tracker.cascade.load(cascade_xml))
+    tracker.enabled = true;
+  tracker.detect_every = detect_every > 0 ? detect_every : 8;
+  cv::Mat bgr, rgb;
+  int i = 0;
+  const size_t frame_bytes = static_cast<size_t>(crop) * crop * 3;
+  while (i < max_frames && cap.read(bgr)) {
+    cv::cvtColor(bgr, rgb, cv::COLOR_BGR2RGB);
+    cv::Rect2f box = tracker.box_for(rgb, i);
+    crop_resize_into(rgb, box, crop, out + frame_bytes * i);
+    if (out_boxes) {
+      out_boxes[4 * i + 0] = box.y;
+      out_boxes[4 * i + 1] = box.x;
+      out_boxes[4 * i + 2] = box.height;
+      out_boxes[4 * i + 3] = box.width;
+    }
+    ++i;
+  }
+  return i;
+}
+
+}  // extern "C"

@@ -1,0 +1,121 @@
+"""Native C++ loader + checkpointed corpus runner tests."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from mimamo_tpu.corpus import CorpusRunner
+from mimamo_tpu.io import decode, native_loader
+from mimamo_tpu.runner import Mimamo
+
+from test_runner import tiny_config
+
+needs_native = pytest.mark.skipif(not native_loader.available(),
+                                  reason="libmimamo_native.so not built")
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    rng = np.random.default_rng(0)
+    lengths = [14, 9, 20]  # one too short for clip_len=8? no: min is 9
+    for i, t in enumerate(lengths):
+        frames = rng.uniform(0, 255, (t, 48, 64, 3)).astype(np.uint8)
+        decode.write_video(str(root / f"v{i}.mp4"), frames)
+    return root, lengths
+
+
+class TestNativeLoader:
+    @needs_native
+    def test_clip_stream_shapes_and_coverage(self, corpus_dir):
+        root, lengths = corpus_dir
+        paths = [str(root / f"v{i}.mp4") for i in range(3)]
+        clips, eovs = [], {}
+        with native_loader.NativeCorpusLoader(
+                paths, clip_len=8, stride=4, crop=32,
+                n_threads=2) as loader:
+            for clip, vi, start in loader:
+                if vi < 0:
+                    eovs[~vi] = start
+                else:
+                    assert clip.shape == (8, 32, 32, 3)
+                    assert clip.dtype == np.uint8
+                    clips.append((vi, start))
+        assert set(eovs) == {0, 1, 2}
+        assert eovs == {i: t for i, t in enumerate(lengths)}
+        # sliding windows: starts are [0, 4, 6] for T=14; [0, 1] for T=9;
+        # [0, 4, 8, 12] for T=20
+        starts = {vi: sorted(s for v, s in clips if v == vi)
+                  for vi in range(3)}
+        assert starts[0] == [0, 4, 6]
+        assert starts[1] == [0, 1]
+        assert starts[2] == [0, 4, 8, 12]
+
+    @needs_native
+    def test_decode_failure_sentinel(self, tmp_path):
+        with native_loader.NativeCorpusLoader(
+                [str(tmp_path / "missing.mp4")], clip_len=8, stride=4,
+                crop=32, n_threads=1) as loader:
+            out = list(loader)
+        assert out[0][1] == ~0 and out[0][2] == -1
+
+    @needs_native
+    def test_decode_video_native_matches_python_decode(self, corpus_dir):
+        root, lengths = corpus_dir
+        path = str(root / "v0.mp4")
+        crops, boxes = native_loader.decode_video_native(path, crop=32)
+        assert crops.shape == (lengths[0], 32, 32, 3)
+        assert boxes.shape == (lengths[0], 4)
+        # no face in noise -> centered square box covering min side
+        np.testing.assert_allclose(boxes[0], [0.0, 8.0, 48.0, 48.0])
+
+
+class TestCorpusRunner:
+    @pytest.fixture(scope="class")
+    def model_vars(self):
+        model = Mimamo(tiny_config(clip_len=8, stride=4))
+        return model, model.init_variables(jax.random.PRNGKey(0))
+
+    @pytest.mark.parametrize("use_native", [True, False])
+    def test_run_and_resume(self, corpus_dir, model_vars, tmp_path,
+                            use_native):
+        if use_native and not native_loader.available():
+            pytest.skip("native lib not built")
+        root, lengths = corpus_dir
+        model, variables = model_vars
+        paths = [str(root / f"v{i}.mp4") for i in range(3)]
+        out_dir = str(tmp_path / f"out_{use_native}")
+        runner = CorpusRunner(model, variables, out_dir, batch_clips=2,
+                              use_native=use_native, loader_threads=2)
+        stats = runner.run(paths)
+        assert stats["videos"] == 3
+        assert stats["frames"] == sum(lengths)
+        for i, t in enumerate(lengths):
+            csv = os.path.join(out_dir, f"v{i}.csv")
+            with open(csv) as f:
+                rows = f.read().strip().splitlines()
+            assert len(rows) == t + 1  # header + per-frame
+
+        # resume: everything already in the manifest -> nothing re-run
+        stats2 = CorpusRunner(model, variables, out_dir, batch_clips=2,
+                              use_native=use_native).run(paths)
+        assert stats2["videos"] == 0
+        assert stats2["resumed_skipped"] == 3
+
+    def test_partial_resume(self, corpus_dir, model_vars, tmp_path):
+        root, lengths = corpus_dir
+        model, variables = model_vars
+        paths = [str(root / f"v{i}.mp4") for i in range(3)]
+        out_dir = str(tmp_path / "partial")
+        os.makedirs(out_dir)
+        # simulate a killed run that completed only v0
+        with open(os.path.join(out_dir, "manifest.jsonl"), "w") as f:
+            f.write(json.dumps({"video": paths[0], "status": "ok",
+                                "frames": lengths[0]}) + "\n")
+        stats = CorpusRunner(model, variables, out_dir, batch_clips=2,
+                             use_native=False).run(paths)
+        assert stats["resumed_skipped"] == 1
+        assert stats["videos"] == 2
