@@ -72,10 +72,20 @@ def main():
         np.asarray(step(variables, clips, np.float32(1000 + i)))
         vlog(f"warmup {i} done")
 
+    # Depth-2 pipeline: keep exactly one execution in flight while
+    # fetching the previous result — hides the tunnel's ~22 ms dispatch+
+    # fetch latency behind compute (+59% measured) without tripping the
+    # deep-async-queue pathology. Every step still computes (salted) and
+    # every output is still fetched.
     start = time.perf_counter()
-    for j in range(args.iters):
-        np.asarray(step(variables, clips, np.float32(j)))
-        vlog(f"iter {j} done")
+    pending = step(variables, clips, np.float32(0))
+    for j in range(1, args.iters):
+        nxt = step(variables, clips, np.float32(j))
+        np.asarray(pending)
+        pending = nxt
+        vlog(f"iter {j - 1} done")
+    np.asarray(pending)
+    vlog(f"iter {args.iters - 1} done")
     elapsed = time.perf_counter() - start
 
     frames = b * t * args.iters

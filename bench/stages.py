@@ -1,0 +1,117 @@
+"""Per-stage throughput breakdown on the attached accelerator.
+
+The reference has no profiling story (SURVEY.md §5 "Tracing/profiling" —
+``time.time()`` prints at best). This harness times each pipeline stage as
+its own jitted program with the axon-tunnel-safe protocol (salted args +
+per-iteration small host fetch; see bench.py) and prints one JSON line per
+stage plus the full pipeline, so regressions can be localized.
+
+Usage: python bench/stages.py [--batch 8] [--clip-len 48] [--iters 5]
+       [--trace DIR]  (writes a jax.profiler trace for Perfetto)
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--clip-len", type=int, default=48)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--trace", default=None,
+                    help="jax.profiler trace output dir")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from mimamo_tpu import preprocess
+    from mimamo_tpu.config import BackboneSpec, ClipSpec, MimamoConfig
+    from mimamo_tpu.phase import micro_motion_features
+    from mimamo_tpu.runner import Mimamo
+
+    cfg = MimamoConfig(
+        backbone=BackboneSpec(dtype=args.dtype),
+        clip=ClipSpec(clip_len=args.clip_len, stride=args.clip_len // 2))
+    model = Mimamo(cfg)
+    variables = jax.jit(model.init_variables)(jax.random.PRNGKey(0))
+
+    b, t, s = args.batch, args.clip_len, cfg.clip.crop_size
+    rng = np.random.default_rng(0)
+    clips = jax.device_put(jnp.asarray(
+        rng.uniform(0, 255, (b, t, s, s, 3)).astype(np.float32)))
+    boxes = jax.device_put(jnp.asarray(np.tile(
+        np.asarray([[4.0, 4.0, 100.0, 100.0]], np.float32), (b * t, 1))))
+    frames_big = jax.device_put(jnp.asarray(
+        rng.uniform(0, 255, (b * t, 128, 128, 3)).astype(np.float32)))
+
+    def stage(name, fn, *inputs, frames_per_step):
+        jitted = jax.jit(lambda salt, *xs: jnp.sum(fn(*xs, salt)))
+        float(jitted(np.float32(999), *inputs))        # compile+warm
+        t0 = time.perf_counter()
+        for j in range(args.iters):
+            float(jitted(np.float32(j), *inputs))
+        dt = (time.perf_counter() - t0) / args.iters
+        print(json.dumps({
+            "stage": name, "sec_per_step": round(dt, 5),
+            "frames_per_sec": round(frames_per_step / dt, 1)}))
+        return dt
+
+    fpstep = b * t
+    total = 0.0
+    total += stage(
+        "crop_resize",
+        lambda f, bx, salt: preprocess.crop_and_resize(f + salt, bx, s),
+        frames_big, boxes, frames_per_step=fpstep)
+    total += stage(
+        "phase_pyramid",
+        lambda c, salt: micro_motion_features(
+            preprocess.to_grayscale(c + salt), cfg.pyramid, cfg.phase),
+        clips, frames_per_step=fpstep)
+    total += stage(
+        "backbone",
+        lambda c, salt: model.embed_frames(variables, c + salt),
+        clips, frames_per_step=fpstep)
+
+    p = cfg.phase.phase_size
+    phase_in = jax.device_put(jnp.asarray(rng.standard_normal(
+        (b, t - 1, cfg.num_phase, p, p)).astype(np.float32)))
+    feats = jax.device_put(jnp.asarray(rng.standard_normal(
+        (b, t, cfg.backbone.feature_dim)).astype(np.float32)))
+    total += stage(
+        "temporal(two-stream GRU)",
+        lambda ph, ft, salt: model.temporal.apply(
+            variables["temporal"], ph + salt, ft)[0],
+        phase_in, feats, frames_per_step=fpstep)
+
+    print(json.dumps({"stage": "sum_of_stages",
+                      "sec_per_step": round(total, 5),
+                      "frames_per_sec": round(fpstep / total, 1)}))
+
+    if args.trace:
+        import jax.profiler
+        with jax.profiler.trace(args.trace):
+            float(jax.jit(lambda salt: jnp.sum(model.forward(
+                variables, clips + salt)[0]))(np.float32(123)))
+        print(json.dumps({"trace": args.trace}))
+
+    full = stage(
+        "full_pipeline",
+        lambda c, salt: model.forward(variables, c + salt)[0],
+        clips, frames_per_step=fpstep)
+    print(json.dumps({"stage": "dispatch+fetch_overhead",
+                      "sec_per_step": round(max(0.0, full - total), 5)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,9 +49,13 @@ def _config(args):
 
 
 def _setup_backend(args) -> None:
+    import jax
     if getattr(args, "cpu", False):
-        import jax
         jax.config.update("jax_platforms", "cpu")
+    if getattr(args, "debug_nans", False):
+        # SURVEY.md §5 "race detection / sanitizers" equivalent for the
+        # single-controller model: fail loudly at the op that made a NaN.
+        jax.config.update("jax_debug_nans", True)
 
 
 def cmd_predict(args) -> int:
@@ -100,10 +104,13 @@ def cmd_train(args) -> int:
     from .config import TrainSpec
     import dataclasses
 
+    loss_axis = args.loss_axis or (
+        "batch" if args.dataset == "omg" else "time")
     config = dataclasses.replace(
         _config(args),
         train=TrainSpec(learning_rate=args.lr, batch_size=args.batch,
-                        epochs=args.epochs, seed=args.seed))
+                        epochs=args.epochs, seed=args.seed,
+                        loss_axis=loss_axis))
     model = Mimamo(config)
     ds = _dataset(args, config)
     if len(ds) == 0:
@@ -118,9 +125,18 @@ def cmd_train(args) -> int:
     step_fn = train.make_train_step(model, tx)
     mesh = parallel.make_mesh() if args.data_parallel else None
 
+    eval_ds = None
+    if args.eval_root:
+        import copy
+        eval_args = copy.copy(args)
+        eval_args.root = args.eval_root
+        eval_args.manifest = args.eval_manifest or args.manifest
+        eval_ds = _dataset(eval_args, config)
+
     log_path = args.log or (args.ckpt.rstrip("/") + ".metrics.jsonl"
                             if args.ckpt else None)
     log_f = open(log_path, "a") if log_path else None
+    best_ccc = -2.0
     for epoch in range(args.epochs):
         t0 = time.time()
         n, agg = 0, {}
@@ -139,6 +155,19 @@ def cmd_train(args) -> int:
         row = {"epoch": epoch, "steps": n,
                "sec": round(time.time() - t0, 2),
                **{k: round(v / max(n, 1), 4) for k, v in agg.items()}}
+        if eval_ds is not None and (epoch + 1) % args.eval_every == 0:
+            from .data import eval as eval_mod
+            variables = train.variables_from_state(state)
+            ev = (eval_mod.evaluate_omg if args.dataset == "omg"
+                  else eval_mod.evaluate_affwild2)(
+                model, variables, eval_ds, chunk=config.clip.clip_len)
+            row.update({"val_" + k: round(v, 4)
+                        for k, v in ev.items() if k.endswith("_ccc")})
+            # Reference keeps the best-val checkpoint (SURVEY.md §3.3).
+            if args.ckpt and ev["mean_ccc"] > best_ccc:
+                best_ccc = ev["mean_ccc"]
+                checkpoints.save(args.ckpt.rstrip("/") + "_best", state)
+                row["best"] = True
         print(json.dumps(row))
         if log_f:
             log_f.write(json.dumps(row) + "\n")
@@ -248,6 +277,16 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over all devices")
+    p.add_argument("--eval-root", default=None,
+                   help="validation dataset root (enables best-val ckpt)")
+    p.add_argument("--eval-manifest", default=None)
+    p.add_argument("--eval-every", type=int, default=1,
+                   help="epochs between validations")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (slow; diagnosis runs)")
+    p.add_argument("--loss-axis", choices=["time", "batch"], default=None,
+                   help="CCC axis (default: batch for omg, time for "
+                        "affwild2)")
     _add_common(p)
     p.set_defaults(fn=cmd_train)
 

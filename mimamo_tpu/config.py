@@ -103,6 +103,11 @@ class TrainSpec:
     epochs: int = 20
     loss: str = "ccc"            # "ccc" | "ccc+mse"
     mse_weight: float = 0.0
+    # CCC axis: "time" = per-clip over frames (frame-level labels, e.g.
+    # Aff-Wild2); "batch" = over the clip batch using time-averaged
+    # predictions (utterance-level labels, e.g. OMG — per-clip time-CCC
+    # is degenerate there because the target is constant over the clip).
+    loss_axis: str = "time"
     seed: int = 0
     freeze_backbone: bool = True  # reference trains on cached features
 

@@ -49,17 +49,21 @@ def _resize_matrix(src: int, dst: int) -> np.ndarray:
     return w.astype(np.float32)
 
 
-def resize_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
-    """Bilinear-resize the trailing two dims of ``x`` via two matmuls."""
+def resize_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int],
+                    precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Bilinear-resize the trailing two dims of ``x`` via two matmuls.
+
+    Default HIGHEST precision: TPU f32 matmuls otherwise round inputs to
+    bf16 on the MXU, costing ~8e-3 absolute error on phase values in
+    (-pi, pi] — over the 1e-3 phase-map parity budget (BASELINE.json).
+    Callers resizing 0..255 images for a bf16 backbone pass DEFAULT.
+    """
     h, w = x.shape[-2], x.shape[-1]
     rh = _resize_matrix(h, out_hw[0])
     rw = _resize_matrix(w, out_hw[1])
-    # HIGHEST: TPU f32 matmuls otherwise round inputs to bf16 on the MXU,
-    # costing ~8e-3 absolute error on phase values in (-pi, pi] — over the
-    # 1e-3 phase-map parity budget (BASELINE.json).
     return jnp.einsum("ph,...hw,qw->...pq", rh, x, rw,
                       preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=precision)
 
 
 def phase_diff(c_t: jnp.ndarray, c_prev: jnp.ndarray) -> jnp.ndarray:

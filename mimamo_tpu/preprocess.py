@@ -83,9 +83,14 @@ def for_backbone(crops_rgb: jnp.ndarray, spec: BackboneSpec) -> jnp.ndarray:
     """
     x = crops_rgb.astype(jnp.float32)
     if x.shape[-2] != spec.input_size:
+        # DEFAULT matmul precision: the backbone casts to bf16 at conv1
+        # anyway, so a HIGHEST-precision (3-pass) upscale buys nothing.
+        prec = (jax.lax.Precision.HIGHEST if spec.dtype == "float32"
+                else jax.lax.Precision.DEFAULT)
         x = jnp.moveaxis(
             resize_bilinear(jnp.moveaxis(x, -1, -3),
-                            (spec.input_size, spec.input_size)), -3, -1)
+                            (spec.input_size, spec.input_size),
+                            precision=prec), -3, -1)
     mean = jnp.asarray(spec.mean_rgb, jnp.float32)
     if spec.channel_order == "bgr":
         x = x[..., ::-1]

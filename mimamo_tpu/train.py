@@ -98,23 +98,30 @@ def make_train_step(model: Mimamo, tx: optax.GradientTransformation
         (out, _), mutated = model.temporal.apply(
             variables["temporal"], phase_stacks, emb, train=True,
             mutable=["batch_stats"])
-        # CCC over the time axis per clip and output dim, masked for padding.
-        per_clip = jax.vmap(
-            lambda p, y, m: ccc_loss(p, y, mask=m,
-                                     mse_weight=cfg.train.mse_weight))(
-            out, batch["labels"], batch["mask"])
-        loss = jnp.mean(per_clip)
+        if cfg.train.loss_axis == "batch":
+            # Utterance-level protocol (OMG): CCC across the clip batch of
+            # time-averaged predictions vs the per-clip labels. Per-clip
+            # time-CCC would be degenerate (constant targets over T).
+            m = batch["mask"][..., None]
+            p = jnp.sum(out * m, axis=1) / (jnp.sum(m, axis=1) + 1e-8)
+            y = batch["labels"][:, 0]                     # [B, 2]
+            loss = ccc_loss(p, y, mse_weight=cfg.train.mse_weight)
+            ccc_vec = ccc(p, y)
+        else:
+            # Frame-level protocol (Aff-Wild2): CCC over time per clip.
+            per_clip = jax.vmap(
+                lambda p, y, m: ccc_loss(p, y, mask=m,
+                                         mse_weight=cfg.train.mse_weight))(
+                out, batch["labels"], batch["mask"])
+            loss = jnp.mean(per_clip)
+            ccc_vec = jnp.stack([
+                jnp.mean(jax.vmap(
+                    lambda p, y, m: ccc(p[:, d], y[:, d], mask=m))(
+                    out, batch["labels"], batch["mask"]))
+                for d in range(2)])
         new_stats = dict(batch_stats)
         new_stats["temporal"] = mutated["batch_stats"]
-        metrics = {
-            "loss": loss,
-            "ccc_v": jnp.mean(jax.vmap(
-                lambda p, y, m: ccc(p[:, 0], y[:, 0], mask=m))(
-                out, batch["labels"], batch["mask"])),
-            "ccc_a": jnp.mean(jax.vmap(
-                lambda p, y, m: ccc(p[:, 1], y[:, 1], mask=m))(
-                out, batch["labels"], batch["mask"])),
-        }
+        metrics = {"loss": loss, "ccc_v": ccc_vec[0], "ccc_a": ccc_vec[1]}
         return loss, (new_stats, metrics)
 
     @functools.partial(jax.jit, donate_argnums=0)

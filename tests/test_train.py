@@ -80,6 +80,31 @@ class TestTrainStep:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5)
 
+    def test_batch_axis_loss_trains_on_constant_labels(self):
+        """OMG-style utterance labels (constant over the clip): time-axis
+        CCC is degenerate (stuck at loss 1.0); batch-axis must learn."""
+        import dataclasses
+        from mimamo_tpu.config import TrainSpec
+        cfg = dataclasses.replace(tiny_config(),
+                                  train=TrainSpec(loss_axis="batch",
+                                                  learning_rate=1e-3))
+        model = Mimamo(cfg)
+        state, tx = train.create_train_state(model, jax.random.PRNGKey(3))
+        step = train.make_train_step(model, tx)
+        rng = np.random.default_rng(5)
+        clips = rng.uniform(0, 255, (4, 6, 32, 32, 3)).astype(np.float32)
+        per_clip = np.tanh(rng.standard_normal((4, 1, 2))).astype(
+            np.float32)
+        batch = {"clips": jnp.asarray(clips),
+                 "labels": jnp.asarray(np.tile(per_clip, (1, 6, 1))),
+                 "mask": jnp.ones((4, 6), jnp.float32)}
+        losses = []
+        for _ in range(10):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert losses[0] > 0.5          # not degenerate-zero
+        assert losses[-1] < losses[0]   # actually learning
+
     def test_metrics_reported(self, setup):
         model, state, tx, step = setup
         _, metrics = step(jax.tree_util.tree_map(jnp.copy, state), _batch())
