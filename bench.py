@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--backbone-size", type=int, default=224,
+                    help="224 = reference parity (crops upscaled); 112 = "
+                         "fast profile (native crop resolution, ~1.5x)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--verbose", action="store_true",
                     help="print stage timings to stderr")
@@ -43,7 +46,8 @@ def main():
     from mimamo_tpu.runner import Mimamo
 
     cfg = MimamoConfig(
-        backbone=BackboneSpec(dtype=args.dtype),
+        backbone=BackboneSpec(dtype=args.dtype,
+                              input_size=args.backbone_size),
         clip=ClipSpec(clip_len=args.clip_len, stride=args.clip_len // 2),
     )
     model = Mimamo(cfg)

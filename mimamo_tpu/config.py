@@ -110,6 +110,11 @@ class TrainSpec:
     loss_axis: str = "time"
     seed: int = 0
     freeze_backbone: bool = True  # reference trains on cached features
+    # Rematerialize the backbone forward in the backward pass (only
+    # relevant with freeze_backbone=False): trades ~1.3x compute for
+    # activation memory, letting full fine-tuning fit larger clip
+    # batches per chip.
+    remat_backbone: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

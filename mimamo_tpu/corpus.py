@@ -75,6 +75,19 @@ class CorpusRunner:
         acc: Dict[int, dict] = {}
         pend_clips: List[np.ndarray] = []
         pend_meta: List[tuple] = []
+        # Depth-2 dispatch pipeline: keep one device execution in flight
+        # while materializing the previous one (same pattern as bench.py —
+        # hides host<->device latency behind compute).
+        in_flight: List[tuple] = []
+
+        def drain(limit: int):
+            while len(in_flight) > limit:
+                out, meta = in_flight.pop(0)
+                out = np.asarray(out)[:len(meta)]
+                for (vi, start), pred in zip(meta, out):
+                    a = acc.setdefault(vi, {"preds": [], "starts": []})
+                    a["preds"].append(pred)
+                    a["starts"].append(start)
 
         def flush():
             if not pend_clips:
@@ -91,11 +104,8 @@ class CorpusRunner:
                                                self.mesh)
             else:
                 out = self.model.predict_clips(self.variables, x)
-            out = np.asarray(out)[:len(pend_clips)]
-            for (vi, start), pred in zip(pend_meta, out):
-                a = acc.setdefault(vi, {"preds": [], "starts": []})
-                a["preds"].append(pred)
-                a["starts"].append(start)
+            in_flight.append((out, list(pend_meta)))
+            drain(limit=1)
             pend_clips.clear()
             pend_meta.clear()
 
@@ -129,6 +139,7 @@ class CorpusRunner:
         for clip, vi, start in self._clip_stream(todo):
             if vi < 0:                      # end-of-video sentinel
                 flush()                     # its clips must be predicted
+                drain(limit=0)
                 finalize(~vi, start)
                 continue
             pend_clips.append(clip)
@@ -136,6 +147,7 @@ class CorpusRunner:
             if len(pend_clips) == self.batch_clips:
                 flush()
         flush()
+        drain(limit=0)
         for vi in list(acc):                # defensive: stream ended early
             finalize(vi, max(s + cfg.clip_len
                              for s in acc[vi]["starts"]))

@@ -57,6 +57,25 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> int:
+    """Multi-host (DCN) initialization for pod slices spanning hosts.
+
+    On single-host (this dev box, or one v5e tray) it is a no-op returning
+    the local device count. On multi-host, call once per process before
+    any other JAX use; afterwards ``jax.devices()`` spans the slice and
+    ``make_mesh()`` builds the global data mesh (collectives ride ICI
+    within a slice, DCN across — SURVEY.md §5 last row).
+    """
+    if coordinator_address is None:
+        return len(jax.devices())
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return len(jax.devices())
+
+
 def pad_to_multiple(batch: Any, multiple: int) -> Any:
     """Zero-pad the leading dim of every array to a mesh-divisible size."""
     def _pad(x):

@@ -92,9 +92,17 @@ def make_train_step(model: Mimamo, tx: optax.GradientTransformation
         clips = batch["clips"]
         gray = preprocess.to_grayscale(clips)
         phase_stacks = micro_motion_features(gray, cfg.pyramid, cfg.phase)
-        emb = model.embed_frames(variables, clips)
         if freeze:
-            emb = jax.lax.stop_gradient(emb)
+            emb = jax.lax.stop_gradient(
+                model.embed_frames(variables, clips))
+        elif cfg.train.remat_backbone:
+            # Recompute backbone activations in the backward pass instead
+            # of storing ~50 ResNet feature maps per frame (memory >>
+            # the 1.3x recompute on a fine-tuning workload).
+            emb = jax.checkpoint(
+                lambda v, c: model.embed_frames(v, c))(variables, clips)
+        else:
+            emb = model.embed_frames(variables, clips)
         (out, _), mutated = model.temporal.apply(
             variables["temporal"], phase_stacks, emb, train=True,
             mutable=["batch_stats"])

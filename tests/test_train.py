@@ -105,6 +105,24 @@ class TestTrainStep:
         assert losses[0] > 0.5          # not degenerate-zero
         assert losses[-1] < losses[0]   # actually learning
 
+    def test_unfrozen_backbone_with_remat(self):
+        """freeze_backbone=False + remat: backbone params receive grads."""
+        import dataclasses
+        from mimamo_tpu.config import TrainSpec
+        cfg = dataclasses.replace(
+            tiny_config(),
+            train=TrainSpec(freeze_backbone=False, remat_backbone=True))
+        model = Mimamo(cfg)
+        state, tx = train.create_train_state(model, jax.random.PRNGKey(4))
+        step = train.make_train_step(model, tx)
+        before = [np.asarray(x) for x in
+                  jax.tree_util.tree_leaves(state.params["backbone"])]
+        state, metrics = step(state, _batch(seed=6))
+        after = jax.tree_util.tree_leaves(state.params["backbone"])
+        assert np.isfinite(float(metrics["loss"]))
+        assert any(float(jnp.abs(jnp.asarray(a) - b).max()) > 0
+                   for a, b in zip(after, before))
+
     def test_metrics_reported(self, setup):
         model, state, tx, step = setup
         _, metrics = step(jax.tree_util.tree_map(jnp.copy, state), _batch())
