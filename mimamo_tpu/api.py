@@ -113,10 +113,14 @@ class MimamoAPI:
 
     def predict(self, video_path: str, out_csv: Optional[str] = None,
                 boxes_path: Optional[str] = None,
-                max_frames: Optional[int] = None) -> np.ndarray:
+                max_frames: Optional[int] = None,
+                align: bool = False) -> np.ndarray:
         frames, boxes = decode.load_video_with_boxes(
             video_path, boxes_path=boxes_path, max_frames=max_frames)
-        series = self.model.predict_video(self.variables, frames, boxes)
+        landmarks = (decode.eye_landmarks(frames.astype(np.uint8), boxes)
+                     if align else None)
+        series = self.model.predict_video(self.variables, frames, boxes,
+                                          landmarks=landmarks)
         if out_csv:
             _write_csv(out_csv, series)
         return series

@@ -64,7 +64,7 @@ def cmd_predict(args) -> int:
     api = MimamoAPI(config=_config(args), checkpoint_dir=args.ckpt)
     series = api.predict(args.video, out_csv=args.out,
                          boxes_path=args.boxes,
-                         max_frames=args.max_frames)
+                         max_frames=args.max_frames, align=args.align)
     print(json.dumps({"frames": len(series),
                       "valence_mean": float(series[:, 0].mean()),
                       "arousal_mean": float(series[:, 1].mean()),
@@ -252,6 +252,9 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--boxes", default=None, help="precomputed boxes .npy")
     p.add_argument("--ckpt", default=None, help="orbax checkpoint dir")
     p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--align", action="store_true",
+                   help="similarity-align crops from eye landmarks "
+                        "(OpenFace-style) instead of box crops")
     _add_common(p)
     p.set_defaults(fn=cmd_predict)
 

@@ -118,6 +118,53 @@ def face_boxes(frames_rgb: np.ndarray,
     return boxes
 
 
+def _eye_detector():
+    if cv2 is None:
+        return None
+    xml = os.path.join(cv2.data.haarcascades, "haarcascade_eye.xml")
+    det = cv2.CascadeClassifier(xml) if os.path.exists(xml) else None
+    return det if det is not None and not det.empty() else None
+
+
+def eye_landmarks(frames_rgb: np.ndarray, boxes: np.ndarray,
+                  detect_every: int = 8) -> np.ndarray:
+    """Per-frame ((left_y, left_x), (right_y, right_x)) eye landmarks.
+
+    Haar-cascade detection inside the upper half of each face box, with
+    hold-last on failure; when no eyes were ever found the canonical
+    in-box positions are used (alignment then degenerates to the plain
+    box crop — same fallback policy as the box tracker). The landmark
+    *interface* is the contract: precomputed landmarks from a stronger
+    tracker can be passed straight to preprocess.similarity_from_eyes.
+    """
+    t, h, w, _ = frames_rgb.shape
+    det = _eye_detector()
+    out = np.empty((t, 2, 2), np.float32)
+
+    def canonical(box):
+        y0, x0, bh, bw = box
+        return np.asarray([[y0 + 0.38 * bh, x0 + 0.22 * bw],
+                           [y0 + 0.38 * bh, x0 + 0.78 * bw]], np.float32)
+
+    last: Optional[np.ndarray] = None
+    for i in range(t):
+        if det is not None and i % detect_every == 0:
+            y0, x0, bh, bw = boxes[i].astype(int)
+            roi = frames_rgb[i, y0:y0 + bh // 2, x0:x0 + bw]
+            if roi.size:
+                gray = cv2.cvtColor(roi, cv2.COLOR_RGB2GRAY)
+                found = det.detectMultiScale(gray, 1.1, 3)
+                if len(found) >= 2:
+                    found = sorted(found, key=lambda r: -r[2] * r[3])[:2]
+                    pts = sorted(
+                        ((y0 + fy + fh / 2.0, x0 + fx + fw / 2.0)
+                         for fx, fy, fw, fh in found),
+                        key=lambda p: p[1])
+                    last = np.asarray(pts, np.float32)
+        out[i] = last if last is not None else canonical(boxes[i])
+    return out
+
+
 def load_video_with_boxes(path: str,
                           boxes_path: Optional[str] = None,
                           max_frames: Optional[int] = None

@@ -98,6 +98,88 @@ def for_backbone(crops_rgb: jnp.ndarray, spec: BackboneSpec) -> jnp.ndarray:
     return x - mean
 
 
+def similarity_from_eyes(eyes: np.ndarray, out_size: int,
+                         eye_y: float = 0.38, eye_dx: float = 0.28
+                         ) -> np.ndarray:
+    """Per-frame similarity transforms from eye landmarks (host side).
+
+    The reference's OpenFace stage aligns faces with a similarity
+    transform from tracked landmarks (SURVEY.md §2 "OpenFace"). Given
+    ``eyes`` [T, 2, 2] = ((left_y, left_x), (right_y, right_x)) in source
+    pixels, returns [T, 2, 3] inverse maps A such that output pixel
+    (y, x) samples source position ``A @ (y, x, 1)``, placing the eyes at
+    canonical positions (eye_y, 0.5 -/+ eye_dx) * out_size.
+
+    Rotation+scale+translation only (no shear) — matching the aligned
+    112x112 crops the reference consumes.
+    """
+    eyes = np.asarray(eyes, np.float64)
+    t = eyes.shape[0]
+    # canonical eye positions in output pixels
+    dst_l = np.asarray([eye_y, 0.5 - eye_dx]) * out_size
+    dst_r = np.asarray([eye_y, 0.5 + eye_dx]) * out_size
+    dst_vec = dst_r - dst_l
+    out = np.empty((t, 2, 3), np.float32)
+    for i in range(t):
+        src_vec = eyes[i, 1] - eyes[i, 0]
+        denom = dst_vec @ dst_vec
+        # complex-ratio form of the 2D similarity (y as real, x as imag):
+        # c = src_vec / dst_vec with c = a + ib
+        a = (src_vec @ dst_vec) / denom
+        b = (src_vec[1] * dst_vec[0] - src_vec[0] * dst_vec[1]) / denom
+        rot = np.asarray([[a, -b], [b, a]])
+        trans = eyes[i, 0] - rot @ dst_l
+        out[i, :, :2] = rot
+        out[i, :, 2] = trans
+    return out
+
+
+def warp_similarity(frames: jnp.ndarray, transforms: jnp.ndarray,
+                    out_size: int) -> jnp.ndarray:
+    """On-device aligned crops via inverse-map bilinear sampling.
+
+    Args:
+      frames: [T, H, W, C] source frames.
+      transforms: [T, 2, 3] inverse maps (see similarity_from_eyes).
+      out_size: output spatial size.
+
+    Returns:
+      [T, out_size, out_size, C] float32 aligned crops (edge-clamped).
+
+    Rotation makes the sampling non-separable, so this path uses one
+    vectorized gather per corner (4 total) instead of the matmul form of
+    :func:`crop_and_resize`; alignment cost is negligible next to the
+    backbone.
+    """
+    t, h, w, _c = frames.shape
+    x = frames.astype(jnp.float32)
+    grid_y, grid_x = jnp.meshgrid(
+        jnp.arange(out_size, dtype=jnp.float32) + 0.5,
+        jnp.arange(out_size, dtype=jnp.float32) + 0.5, indexing="ij")
+    ones = jnp.ones_like(grid_y)
+    coords = jnp.stack([grid_y, grid_x, ones], axis=-1)     # [S, S, 3]
+    src = jnp.einsum("tij,pqj->tpqi", transforms.astype(jnp.float32),
+                     coords) - 0.5                          # [T, S, S, 2]
+    sy = jnp.clip(src[..., 0], 0.0, h - 1.0)
+    sx = jnp.clip(src[..., 1], 0.0, w - 1.0)
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    fy, fx = sy - y0, sx - x0
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+
+    ti = jnp.arange(t)[:, None, None]
+
+    def g(yy, xx):
+        return x[ti, yy, xx]                                # [T,S,S,C]
+
+    top = g(y0, x0) * (1 - fx)[..., None] + g(y0, x1) * fx[..., None]
+    bot = g(y1, x0) * (1 - fx)[..., None] + g(y1, x1) * fx[..., None]
+    return top * (1 - fy)[..., None] + bot * fy[..., None]
+
+
 def sliding_windows(x: jnp.ndarray, clip_len: int, stride: int
                     ) -> Tuple[jnp.ndarray, np.ndarray]:
     """Slice [T, ...] into overlapping [N, clip_len, ...] windows.

@@ -172,18 +172,29 @@ class Mimamo:
 
     def predict_video(self, variables: Variables, frames_rgb: np.ndarray,
                       boxes: np.ndarray,
-                      batch_clips: int = 8) -> np.ndarray:
+                      batch_clips: int = 8,
+                      landmarks: Optional[np.ndarray] = None
+                      ) -> np.ndarray:
         """Raw decoded video -> per-frame (valence, arousal) time series.
 
         [T, H, W, 3] frames + [T, 4] face boxes: on-device crop/resize,
         sliding clip windows (clip_len/stride from config), batched clip
         inference, overlap-averaged back to per-frame outputs — the
         reference's ``API.predict`` equivalent (SURVEY.md §3.1) without
-        the disk round-trips.
+        the disk round-trips. With ``landmarks`` ([T, 2, 2] eye points),
+        crops are similarity-*aligned* on device (the OpenFace role)
+        instead of axis-aligned box crops.
         """
         cfg = self.config.clip
-        crops = self._crop_video(variables, jnp.asarray(frames_rgb),
-                                 jnp.asarray(boxes, jnp.float32))
+        if landmarks is not None:
+            transforms = preprocess.similarity_from_eyes(
+                landmarks, cfg.crop_size)
+            crops = self._align_video(variables,
+                                      jnp.asarray(frames_rgb),
+                                      jnp.asarray(transforms))
+        else:
+            crops = self._crop_video(variables, jnp.asarray(frames_rgb),
+                                     jnp.asarray(boxes, jnp.float32))
         windows, starts = preprocess.sliding_windows(
             crops, cfg.clip_len, cfg.stride)
         preds = []
@@ -204,6 +215,13 @@ class Mimamo:
                     boxes: jnp.ndarray) -> jnp.ndarray:
         del variables  # crop is parameter-free; kept for API uniformity
         return preprocess.crop_and_resize(frames, boxes,
+                                          self.config.clip.crop_size)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _align_video(self, variables: Variables, frames: jnp.ndarray,
+                     transforms: jnp.ndarray) -> jnp.ndarray:
+        del variables
+        return preprocess.warp_similarity(frames, transforms,
                                           self.config.clip.crop_size)
 
     # -- mesh-sharded batch inference (config 5) -----------------------------
