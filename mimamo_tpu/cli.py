@@ -28,6 +28,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--pyramid-height", type=int, default=3)
     p.add_argument("--orientations", type=int, default=4)
     p.add_argument("--phase-size", type=int, default=48)
+    p.add_argument("--snippet-len", type=int, default=1,
+                   help="frames per snippet (1 = per-frame GRU steps)")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -35,7 +37,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
 
 def _config(args):
     from .config import (BackboneSpec, ClipSpec, MimamoConfig, PhaseSpec,
-                         PyramidSpec)
+                         PyramidSpec, TemporalSpec)
     s = args.crop_size
     return MimamoConfig(
         pyramid=PyramidSpec(height=args.pyramid_height,
@@ -44,6 +46,7 @@ def _config(args):
         phase=PhaseSpec(phase_size=args.phase_size),
         backbone=BackboneSpec(input_size=args.backbone_size,
                               dtype=args.dtype),
+        temporal=TemporalSpec(snippet_len=args.snippet_len),
         clip=ClipSpec(clip_len=args.clip_len, stride=args.stride,
                       crop_size=s))
 

@@ -82,6 +82,12 @@ class TemporalSpec:
     fusion_hidden: int = 256
     num_outputs: int = 2         # (valence, arousal)
     output_activation: str = "linear"  # "linear" | "tanh"
+    # Snippet aggregation (MIMAMO paper structure, SURVEY.md App. B #3):
+    # 1 = per-frame GRU steps (default); W > 1 groups the clip into
+    # T/W snippets — within-snippet pair embeddings are mean-pooled and
+    # frame features snippet-averaged, the GRUs step once per snippet,
+    # and outputs are broadcast back to frames.
+    snippet_len: int = 1
     dtype: str = "float32"
 
 

@@ -135,6 +135,17 @@ class TwoStreamRNN(nn.Module):
         macro = nn.Dense(spec.macro_embed_dim, name="macro_proj")(rgb_feats)
         macro = nn.relu(macro)
 
+        w = spec.snippet_len
+        if w > 1:
+            # Snippet aggregation (paper structure): pool W-frame groups
+            # before the recurrences; one GRU step per snippet.
+            if t % w:
+                raise ValueError(f"clip length {t} not divisible by "
+                                 f"snippet_len {w}")
+            n = t // w
+            micro = jnp.mean(micro.reshape(b, n, w, -1), axis=2)
+            macro = jnp.mean(macro.reshape(b, n, w, -1), axis=2)
+
         c_micro, c_macro = carries if carries is not None else (None, None)
         ys_micro, h_micro = GRU(spec.gru_hidden, name="gru_micro")(
             micro, c_micro)
@@ -146,6 +157,9 @@ class TwoStreamRNN(nn.Module):
         out = nn.Dense(spec.num_outputs, name="head")(fused)
         if spec.output_activation == "tanh":
             out = jnp.tanh(out)
+        if w > 1:
+            # Broadcast snippet outputs back to per-frame predictions.
+            out = jnp.repeat(out, w, axis=1)
         return out, (h_micro, h_macro)
 
 

@@ -99,6 +99,27 @@ class TestTwoStream:
         np.testing.assert_allclose(np.asarray(got), np.asarray(full),
                                    atol=1e-5)
 
+    def test_snippet_mode_shapes_and_constancy(self):
+        """snippet_len=W: one GRU step per W-frame snippet, per-frame
+        outputs constant within each snippet."""
+        spec = TemporalSpec(snippet_len=4)
+        phase, feats = self._inputs(t=8)
+        model = temporal.TwoStreamRNN(spec)
+        variables = model.init(jax.random.PRNGKey(0), phase, feats)
+        out, (hm, _) = model.apply(variables, phase, feats)
+        assert out.shape == (2, 8, 2)
+        o = np.asarray(out)
+        np.testing.assert_allclose(o[:, 0], o[:, 3])   # within snippet 0
+        np.testing.assert_allclose(o[:, 4], o[:, 7])   # within snippet 1
+        assert np.abs(o[:, 0] - o[:, 4]).max() > 0     # across snippets
+
+    def test_snippet_mode_rejects_indivisible(self):
+        spec = TemporalSpec(snippet_len=5)
+        phase, feats = self._inputs(t=8)
+        model = temporal.TwoStreamRNN(spec)
+        with np.testing.assert_raises(ValueError):
+            model.init(jax.random.PRNGKey(0), phase, feats)
+
     def test_gradients_flow(self):
         phase, feats = self._inputs(t=4)
         model = temporal.TwoStreamRNN(SPEC)
