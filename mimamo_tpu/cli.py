@@ -139,6 +139,10 @@ def cmd_train(args) -> int:
     log_path = args.log or (args.ckpt.rstrip("/") + ".metrics.jsonl"
                             if args.ckpt else None)
     log_f = open(log_path, "a") if log_path else None
+    tb_writer = None
+    if args.tensorboard:
+        import tensorflow as tf  # installed in this image; soft dep
+        tb_writer = tf.summary.create_file_writer(args.tensorboard)
     best_ccc = -2.0
     for epoch in range(args.epochs):
         t0 = time.time()
@@ -175,6 +179,13 @@ def cmd_train(args) -> int:
         if log_f:
             log_f.write(json.dumps(row) + "\n")
             log_f.flush()
+        if tb_writer is not None:
+            with tb_writer.as_default(step=epoch):
+                import tensorflow as tf
+                for k, v in row.items():
+                    if isinstance(v, (int, float)) and k != "epoch":
+                        tf.summary.scalar(k, v)
+            tb_writer.flush()
         if args.ckpt:
             checkpoints.save(args.ckpt, state)
     if log_f:
@@ -293,6 +304,8 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--loss-axis", choices=["time", "batch"], default=None,
                    help="CCC axis (default: batch for omg, time for "
                         "affwild2)")
+    p.add_argument("--tensorboard", default=None,
+                   help="TensorBoard log dir (optional)")
     _add_common(p)
     p.set_defaults(fn=cmd_train)
 

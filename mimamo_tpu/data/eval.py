@@ -31,18 +31,25 @@ def _predict_sequence(model: Mimamo, variables, crops: np.ndarray,
                       chunk: int = 48) -> np.ndarray:
     """Per-frame predictions for one full sequence via streaming chunks.
 
-    Sequences shorter than one chunk run as a single clip; tails shorter
-    than the chunk stream through with their own (static-shape-cached)
-    program per distinct tail length.
+    The final partial chunk is padded to ``chunk`` by repeating the last
+    frame and its outputs truncated, so every call reuses the same two
+    compiled programs regardless of sequence length (compiles are
+    minutes on the TPU tunnel).
     """
     import jax.numpy as jnp
     t = crops.shape[0]
-    x = jnp.asarray(crops.astype(np.float32))[None]
+    x = crops.astype(np.float32)[None]
     outs, carries = [], None
     for start in range(0, t, chunk):
         piece = x[:, start:start + chunk]
-        out, carries = model.predict_stream(variables, piece, carries)
-        outs.append(np.asarray(out[0]))
+        n = piece.shape[1]
+        if n < chunk:
+            piece = np.concatenate(
+                [piece, np.repeat(piece[:, -1:], chunk - n, axis=1)],
+                axis=1)
+        out, carries = model.predict_stream(variables,
+                                            jnp.asarray(piece), carries)
+        outs.append(np.asarray(out[0, :n]))
     return np.concatenate(outs, axis=0)
 
 
