@@ -36,8 +36,14 @@ class VideoProcessor:
 
     def __init__(self, save_size: int = 112,
                  config: Optional[MimamoConfig] = None):
+        import dataclasses
         self.save_size = save_size
-        self.model = Mimamo(config or MimamoConfig())
+        cfg = config or MimamoConfig()
+        if cfg.clip.crop_size != save_size:
+            cfg = dataclasses.replace(
+                cfg, clip=dataclasses.replace(cfg.clip,
+                                              crop_size=save_size))
+        self.model = Mimamo(cfg)
 
     def process(self, video_path: str, out_dir: str,
                 boxes_path: Optional[str] = None,

@@ -47,8 +47,13 @@ def restore(path: str, target: Any, step: Optional[int] = None) -> Any:
         raise RuntimeError("orbax-checkpoint is required for restore()")
     path = os.path.abspath(path)
     with ocp.CheckpointManager(path) as mgr:
-        step = int(step if step is not None else mgr.latest_step())
-        return mgr.restore(step, args=ocp.args.StandardRestore(target))
+        if step is None:
+            step = mgr.latest_step()
+            if step is None:
+                raise FileNotFoundError(
+                    f"no checkpoint steps found under {path}")
+        return mgr.restore(int(step),
+                           args=ocp.args.StandardRestore(target))
 
 
 def latest_step(path: str) -> Optional[int]:

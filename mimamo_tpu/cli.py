@@ -78,11 +78,24 @@ def cmd_predict(args) -> int:
 def cmd_extract(args) -> int:
     _setup_backend(args)
     from .api import FeatureExtractor, VideoProcessor
-    vp = VideoProcessor(save_size=args.crop_size, config=_config(args))
+    config = _config(args)
+    vp = VideoProcessor(save_size=args.crop_size, config=config)
     crops = vp.process(args.video, args.out_dir, boxes_path=args.boxes,
                        max_frames=args.max_frames)
-    feats = FeatureExtractor(config=_config(args)).extract(crops)
-    print(json.dumps({"crops": crops, "features": feats}))
+    variables = None
+    if args.ckpt:
+        import jax
+        from . import checkpoints, train
+        from .runner import Mimamo
+        model = Mimamo(config)
+        state, _tx = train.create_train_state(model, jax.random.PRNGKey(0))
+        variables = train.variables_from_state(
+            checkpoints.restore(args.ckpt, state))
+    feats = FeatureExtractor(config=config,
+                             variables=variables).extract(crops)
+    print(json.dumps({"crops": crops, "features": feats,
+                      "weights": "checkpoint" if args.ckpt else
+                      "RANDOM-INIT (pass --ckpt for real features)"}))
     return 0
 
 
@@ -127,6 +140,12 @@ def cmd_train(args) -> int:
               file=sys.stderr)
     step_fn = train.make_train_step(model, tx)
     mesh = parallel.make_mesh() if args.data_parallel else None
+    if mesh is not None and config.train.batch_size % mesh.devices.size:
+        # Padding training batches would contaminate train-mode BN
+        # statistics; unlike inference, require clean divisibility.
+        raise SystemExit(
+            f"--batch {config.train.batch_size} must be divisible by the "
+            f"device count {mesh.devices.size} for --data-parallel")
 
     eval_ds = None
     if args.eval_root:
@@ -277,6 +296,9 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--video", required=True)
     p.add_argument("--out-dir", required=True)
     p.add_argument("--boxes", default=None)
+    p.add_argument("--ckpt", default=None,
+                   help="orbax checkpoint for backbone weights (without "
+                        "it, features come from random init)")
     p.add_argument("--max-frames", type=int, default=None)
     _add_common(p)
     p.set_defaults(fn=cmd_extract)

@@ -88,7 +88,11 @@ def face_boxes(frames_rgb: np.ndarray,
     expanded by ``margin`` to approximate OpenFace's aligned crop extent.
     """
     t, h, w, _ = frames_rgb.shape
-    if boxes_path and os.path.exists(boxes_path):
+    if boxes_path:
+        if not os.path.exists(boxes_path):
+            raise FileNotFoundError(
+                f"boxes file not found: {boxes_path} (explicit paths must "
+                f"exist; omit the argument to use the built-in detector)")
         boxes = np.load(boxes_path).astype(np.float32)
         if boxes.shape != (t, 4):
             raise ValueError(
@@ -101,9 +105,9 @@ def face_boxes(frames_rgb: np.ndarray,
     for i in range(t):
         if det is not None and i % detect_every == 0:
             gray = cv2.cvtColor(frames_rgb[i], cv2.COLOR_RGB2GRAY)
+            m = min(h, w) // 8  # cv2 Size is (width, height); use min side
             found = det.detectMultiScale(gray, scaleFactor=1.2,
-                                         minNeighbors=4,
-                                         minSize=(h // 8, w // 8))
+                                         minNeighbors=4, minSize=(m, m))
             if len(found):
                 x, y, bw, bh = max(found, key=lambda b: b[2] * b[3])
                 side = max(bw, bh) * (1.0 + margin)

@@ -207,10 +207,9 @@ def merge_window_predictions(preds: jnp.ndarray, starts: np.ndarray,
     deterministic equivalent used here.
     """
     n, clip_len, d = preds.shape
-    acc = jnp.zeros((total_len, d), preds.dtype)
-    cnt = jnp.zeros((total_len, 1), preds.dtype)
-    for i, s in enumerate(np.asarray(starts)):
-        s = int(s)
-        acc = acc.at[s:s + clip_len].add(preds[i])
-        cnt = cnt.at[s:s + clip_len].add(1.0)
+    idx = np.asarray(starts)[:, None] + np.arange(clip_len)[None, :]
+    idx = jnp.asarray(idx.reshape(-1))
+    acc = jnp.zeros((total_len, d), preds.dtype).at[idx].add(
+        preds.reshape(-1, d))
+    cnt = jnp.zeros((total_len, 1), preds.dtype).at[idx].add(1.0)
     return acc / jnp.maximum(cnt, 1.0)

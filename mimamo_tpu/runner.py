@@ -187,14 +187,31 @@ class Mimamo:
         """
         cfg = self.config.clip
         if landmarks is not None:
-            transforms = preprocess.similarity_from_eyes(
-                landmarks, cfg.crop_size)
-            crops = self._align_video(variables,
-                                      jnp.asarray(frames_rgb),
-                                      jnp.asarray(transforms))
+            params = preprocess.similarity_from_eyes(landmarks,
+                                                     cfg.crop_size)
+            crop_fn = self._align_video
         else:
-            crops = self._crop_video(variables, jnp.asarray(frames_rgb),
-                                     jnp.asarray(boxes, jnp.float32))
+            params = np.asarray(boxes, np.float32)
+            crop_fn = self._crop_video
+        # Chunk the crop stage: a full decoded video at source resolution
+        # does not fit HBM (a 60 s 1080p clip is ~37 GB as f32). Fixed
+        # chunk size (padded tail) -> one compiled program per source
+        # resolution.
+        chunk = 64
+        t = frames_rgb.shape[0]
+        pieces = []
+        for s in range(0, t, chunk):
+            f = np.asarray(frames_rgb[s:s + chunk], np.float32)
+            p = np.asarray(params[s:s + chunk])
+            n = f.shape[0]
+            if n < chunk:
+                f = np.concatenate(
+                    [f, np.repeat(f[-1:], chunk - n, axis=0)])
+                p = np.concatenate(
+                    [p, np.repeat(p[-1:], chunk - n, axis=0)])
+            out = crop_fn(variables, jnp.asarray(f), jnp.asarray(p))
+            pieces.append(np.asarray(out[:n]))
+        crops = jnp.asarray(np.concatenate(pieces, axis=0))
         windows, starts = preprocess.sliding_windows(
             crops, cfg.clip_len, cfg.stride)
         preds = []

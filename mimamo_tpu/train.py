@@ -92,20 +92,35 @@ def make_train_step(model: Mimamo, tx: optax.GradientTransformation
         clips = batch["clips"]
         gray = preprocess.to_grayscale(clips)
         phase_stacks = micro_motion_features(gray, cfg.pyramid, cfg.phase)
+        new_stats = dict(batch_stats)
         if freeze:
             emb = jax.lax.stop_gradient(
                 model.embed_frames(variables, clips))
-        elif cfg.train.remat_backbone:
-            # Recompute backbone activations in the backward pass instead
-            # of storing ~50 ResNet feature maps per frame (memory >>
-            # the 1.3x recompute on a fine-tuning workload).
-            emb = jax.checkpoint(
-                lambda v, c: model.embed_frames(v, c))(variables, clips)
         else:
-            emb = model.embed_frames(variables, clips)
+            # Train-mode BN with mutated running stats (fine-tuning).
+            b, t = clips.shape[:2]
+            imgs = preprocess.for_backbone(
+                clips.reshape((b * t,) + clips.shape[2:]),
+                cfg.backbone)
+
+            def bb_fwd(bvars, x):
+                (e, _), mut = model.backbone.apply(
+                    bvars, x, train=True, mutable=["batch_stats"])
+                return e, mut["batch_stats"]
+
+            if cfg.train.remat_backbone:
+                # Recompute backbone activations in the backward pass
+                # instead of storing ~50 ResNet feature maps per frame.
+                bb_fwd = jax.checkpoint(bb_fwd)
+            emb, bstats = bb_fwd(variables["backbone"], imgs)
+            emb = emb.reshape(b, t, -1)
+            new_stats["backbone"] = bstats
         (out, _), mutated = model.temporal.apply(
             variables["temporal"], phase_stacks, emb, train=True,
             mutable=["batch_stats"])
+        # Clip validity: all-padding clips (from pad_to_multiple for mesh
+        # divisibility) must not contribute to the loss or metrics.
+        clip_w = (jnp.sum(batch["mask"], axis=1) > 0).astype(jnp.float32)
         if cfg.train.loss_axis == "batch":
             # Utterance-level protocol (OMG): CCC across the clip batch of
             # time-averaged predictions vs the per-clip labels. Per-clip
@@ -113,21 +128,22 @@ def make_train_step(model: Mimamo, tx: optax.GradientTransformation
             m = batch["mask"][..., None]
             p = jnp.sum(out * m, axis=1) / (jnp.sum(m, axis=1) + 1e-8)
             y = batch["labels"][:, 0]                     # [B, 2]
-            loss = ccc_loss(p, y, mse_weight=cfg.train.mse_weight)
-            ccc_vec = ccc(p, y)
+            loss = ccc_loss(p, y, mask=clip_w,
+                            mse_weight=cfg.train.mse_weight)
+            ccc_vec = ccc(p, y, mask=clip_w)
         else:
             # Frame-level protocol (Aff-Wild2): CCC over time per clip.
             per_clip = jax.vmap(
                 lambda p, y, m: ccc_loss(p, y, mask=m,
                                          mse_weight=cfg.train.mse_weight))(
                 out, batch["labels"], batch["mask"])
-            loss = jnp.mean(per_clip)
+            denom = jnp.sum(clip_w) + 1e-8
+            loss = jnp.sum(per_clip * clip_w) / denom
             ccc_vec = jnp.stack([
-                jnp.mean(jax.vmap(
+                jnp.sum(clip_w * jax.vmap(
                     lambda p, y, m: ccc(p[:, d], y[:, d], mask=m))(
-                    out, batch["labels"], batch["mask"]))
+                    out, batch["labels"], batch["mask"])) / denom
                 for d in range(2)])
-        new_stats = dict(batch_stats)
         new_stats["temporal"] = mutated["batch_stats"]
         metrics = {"loss": loss, "ccc_v": ccc_vec[0], "ccc_a": ccc_vec[1]}
         return loss, (new_stats, metrics)

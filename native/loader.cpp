@@ -87,8 +87,10 @@ struct FaceTracker {
       cv::Mat gray;
       cv::cvtColor(rgb, gray, cv::COLOR_RGB2GRAY);
       std::vector<cv::Rect> found;
+      // cv::Size is (width, height); use the min side for the floor.
+      const int min_side = std::min(rgb.rows, rgb.cols) / 8;
       cascade.detectMultiScale(gray, found, 1.2, 4, 0,
-                               cv::Size(rgb.rows / 8, rgb.cols / 8));
+                               cv::Size(min_side, min_side));
       if (!found.empty()) {
         const cv::Rect* best = &found[0];
         for (const auto& r : found)

@@ -123,6 +123,36 @@ class TestTrainStep:
         assert any(float(jnp.abs(jnp.asarray(a) - b).max()) > 0
                    for a, b in zip(after, before))
 
+    def test_masked_clip_labels_do_not_affect_loss(self, setup):
+        """A fully-masked clip's labels are weighted out of loss and
+        metrics on both CCC axes (mesh-padding defense). Train-mode BN
+        still sees the clip pixels, so the comparison varies only the
+        masked clip's *labels* — identical inputs, different garbage."""
+        import dataclasses
+        from mimamo_tpu.config import TrainSpec
+        for axis in ("time", "batch"):
+            cfg = dataclasses.replace(tiny_config(),
+                                      train=TrainSpec(loss_axis=axis))
+            model = Mimamo(cfg)
+            state, tx = train.create_train_state(model,
+                                                 jax.random.PRNGKey(7))
+            step = train.make_train_step(model, tx)
+            batch = _batch(b=4, seed=8)
+            if axis == "batch":  # constant-over-time labels
+                batch["labels"] = jnp.tile(batch["labels"][:, :1],
+                                           (1, 6, 1))
+            mask = np.ones((4, 6), np.float32)
+            mask[3] = 0.0                      # clip 3 is padding
+            batch["mask"] = jnp.asarray(mask)
+            alt = dict(batch)
+            alt["labels"] = batch["labels"].at[3].set(99.0)
+            _s1, m1 = step(jax.tree_util.tree_map(jnp.copy, state), batch)
+            _s2, m2 = step(jax.tree_util.tree_map(jnp.copy, state), alt)
+            for k in m1:
+                np.testing.assert_allclose(float(m1[k]), float(m2[k]),
+                                           atol=1e-5,
+                                           err_msg=f"axis={axis} {k}")
+
     def test_metrics_reported(self, setup):
         model, state, tx, step = setup
         _, metrics = step(jax.tree_util.tree_map(jnp.copy, state), _batch())
