@@ -79,6 +79,7 @@ class TemporalSpec:
     micro_embed_dim: int = 256
     macro_embed_dim: int = 256   # projection of the 2048-d feature
     gru_hidden: int = 256        # per-stream GRU hidden size
+    gru_layers: int = 1          # stacked GRU layers per stream
     fusion_hidden: int = 256
     num_outputs: int = 2         # (valence, arousal)
     output_activation: str = "linear"  # "linear" | "tanh"

@@ -31,37 +31,34 @@ from .config import TemporalSpec
 
 
 class GRU(nn.Module):
-    """Single-layer GRU over the time axis, torch ``nn.GRU`` conventions.
+    """GRU over the time axis, torch ``nn.GRU`` conventions.
 
     Weight layout matches torch: ``w_ih``/``w_hh`` are [3H, D]/[3H, H] with
     gate blocks stacked in (reset, update, new) order, so a reference
-    checkpoint's ``weight_ih_l0`` etc. can be loaded verbatim.
+    checkpoint's ``weight_ih_l0`` etc. can be loaded verbatim. With
+    ``layers > 1`` extra layers' params are prefixed ``l<i>_`` (layer 0
+    keeps the flat names for checkpoint compatibility) and the carry is
+    stacked [L, B, H] (torch ``h_n`` layout).
     """
 
     hidden: int
+    layers: int = 1
 
-    @nn.compact
-    def __call__(self, xs: jnp.ndarray,
-                 h0: Optional[jnp.ndarray] = None
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """xs: [B, T, D] -> (ys: [B, T, H], h_final: [B, H])."""
-        b, _t, d = xs.shape
+    def _layer(self, xs, h0, d, suffix):
         h = self.hidden
         k = 1.0 / jnp.sqrt(h)
 
         def uinit(key, shape):
             return jax.random.uniform(key, shape, jnp.float32, -k, k)
 
-        w_ih = self.param("w_ih", uinit, (3 * h, d))
-        w_hh = self.param("w_hh", uinit, (3 * h, h))
-        b_ih = self.param("b_ih", uinit, (3 * h,))
-        b_hh = self.param("b_hh", uinit, (3 * h,))
-
-        if h0 is None:
-            h0 = jnp.zeros((b, h), xs.dtype)
+        w_ih = self.param(f"{suffix}w_ih", uinit, (3 * h, d))
+        w_hh = self.param(f"{suffix}w_hh", uinit, (3 * h, h))
+        b_ih = self.param(f"{suffix}b_ih", uinit, (3 * h,))
+        b_hh = self.param(f"{suffix}b_hh", uinit, (3 * h,))
 
         # Input projections for all steps at once: one big [B*T, D]x[D, 3H]
-        # matmul keeps the MXU busy; only the recurrent matmul is sequential.
+        # matmul keeps the MXU busy; only the recurrent matmul is
+        # sequential.
         x_proj = jnp.einsum("btd,gd->btg", xs, w_ih) + b_ih
 
         def step(carry, x_g):
@@ -77,6 +74,31 @@ class GRU(nn.Module):
 
         h_final, ys = jax.lax.scan(step, h0, jnp.swapaxes(x_proj, 0, 1))
         return jnp.swapaxes(ys, 0, 1), h_final
+
+    @nn.compact
+    def __call__(self, xs: jnp.ndarray,
+                 h0: Optional[jnp.ndarray] = None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """xs: [B, T, D] -> (ys: [B, T, H], h_final).
+
+        ``h0``/``h_final`` are [B, H] for a single layer (back-compat) and
+        [L, B, H] for stacked GRUs.
+        """
+        b, _t, d = xs.shape
+        if self.layers == 1:
+            h_init = (h0 if h0 is not None
+                      else jnp.zeros((b, self.hidden), xs.dtype))
+            return self._layer(xs, h_init, d, "")
+        finals = []
+        ys = xs
+        for li in range(self.layers):
+            h_init = (h0[li] if h0 is not None
+                      else jnp.zeros((b, self.hidden), xs.dtype))
+            suffix = "" if li == 0 else f"l{li}_"
+            ys, h_f = self._layer(ys, h_init,
+                                  d if li == 0 else self.hidden, suffix)
+            finals.append(h_f)
+        return ys, jnp.stack(finals)
 
 
 class MicroCNN(nn.Module):
@@ -147,10 +169,10 @@ class TwoStreamRNN(nn.Module):
             macro = jnp.mean(macro.reshape(b, n, w, -1), axis=2)
 
         c_micro, c_macro = carries if carries is not None else (None, None)
-        ys_micro, h_micro = GRU(spec.gru_hidden, name="gru_micro")(
-            micro, c_micro)
-        ys_macro, h_macro = GRU(spec.gru_hidden, name="gru_macro")(
-            macro, c_macro)
+        ys_micro, h_micro = GRU(spec.gru_hidden, spec.gru_layers,
+                                name="gru_micro")(micro, c_micro)
+        ys_macro, h_macro = GRU(spec.gru_hidden, spec.gru_layers,
+                                name="gru_macro")(macro, c_macro)
 
         fused = jnp.concatenate([ys_micro, ys_macro], axis=-1)
         fused = nn.relu(nn.Dense(spec.fusion_hidden, name="fusion")(fused))
@@ -165,5 +187,7 @@ class TwoStreamRNN(nn.Module):
 
 def init_carries(spec: TemporalSpec, batch: int
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    z = jnp.zeros((batch, spec.gru_hidden), jnp.float32)
+    shape = ((batch, spec.gru_hidden) if spec.gru_layers == 1
+             else (spec.gru_layers, batch, spec.gru_hidden))
+    z = jnp.zeros(shape, jnp.float32)
     return z, z

@@ -41,6 +41,32 @@ class TestGRUTorchParity:
         np.testing.assert_allclose(np.asarray(got_h), want_h[0].numpy(),
                                    atol=1e-5)
 
+    def test_stacked_matches_torch_two_layer(self):
+        """layers=2 reproduces torch.nn.GRU(num_layers=2) exactly."""
+        b, t, d, h = 2, 7, 5, 4
+        torch.manual_seed(1)
+        ref = torch.nn.GRU(d, h, num_layers=2, batch_first=True)
+        xs = torch.randn(b, t, d)
+        h0 = torch.randn(2, b, h)
+        with torch.no_grad():
+            want_ys, want_h = ref(xs, h0)
+        params = {"params": {
+            "w_ih": jnp.asarray(ref.weight_ih_l0.detach().numpy()),
+            "w_hh": jnp.asarray(ref.weight_hh_l0.detach().numpy()),
+            "b_ih": jnp.asarray(ref.bias_ih_l0.detach().numpy()),
+            "b_hh": jnp.asarray(ref.bias_hh_l0.detach().numpy()),
+            "l1_w_ih": jnp.asarray(ref.weight_ih_l1.detach().numpy()),
+            "l1_w_hh": jnp.asarray(ref.weight_hh_l1.detach().numpy()),
+            "l1_b_ih": jnp.asarray(ref.bias_ih_l1.detach().numpy()),
+            "l1_b_hh": jnp.asarray(ref.bias_hh_l1.detach().numpy()),
+        }}
+        got_ys, got_h = temporal.GRU(hidden=h, layers=2).apply(
+            params, jnp.asarray(xs.numpy()), jnp.asarray(h0.numpy()))
+        np.testing.assert_allclose(np.asarray(got_ys), want_ys.numpy(),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_h), want_h.numpy(),
+                                   atol=1e-5)
+
     def test_streaming_carry_equals_full_sequence(self):
         """GRU over [0:T] == GRU over [0:k] then [k:T] with carried state —
         the mechanism behind full-video streaming (config 3)."""
