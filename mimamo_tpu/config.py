@@ -136,9 +136,10 @@ class MimamoConfig:
     train: TrainSpec = TrainSpec()
     # Use the Pallas fused phase-diff kernel (pallas/phase_kernel.py) on
     # TPU. Default False: measured on v5e 2026-08-16, XLA's own fusion of
-    # the same chain is faster at flagship shapes (11.6k vs 8.8k frames/s
-    # on the phase path) — the kernel is kept, tested, and parity-checked
-    # (4.8e-7) for shapes where a hand-fused pipeline wins.
+    # the same chain remains fastest at flagship shapes (phase path:
+    # XLA 10.5k f/s vs blocked-Pallas 10.0k vs per-pair-Pallas 8.8k) —
+    # both kernels are kept, tested, and parity-checked (<5e-7) for
+    # shapes where a hand-fused pipeline wins.
     use_pallas: bool = False
 
     @property

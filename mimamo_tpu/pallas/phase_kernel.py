@@ -122,14 +122,84 @@ def phase_diff_resize(c_t: jnp.ndarray, c_prev: jnp.ndarray,
     return out.reshape(lead + (p, p))
 
 
+def _blocked_kernel(ct_re, ct_im, cp_re, cp_im, rw, rh_t, out):
+    """G band-pairs per program: one fused VPU pass + two large MXU dots.
+
+    The per-pair variant (_kernel) loses to XLA's own fusion because its
+    48xH @ HxW @ Wx48 dots are tiny; blocking G pairs turns them into
+    (G*H, W) @ (W, P) and (G*P, H) @ (H, P) — MXU-sized.
+    """
+    g, h, w = ct_re.shape
+    a_re = ct_re[...].astype(jnp.float32)
+    a_im = ct_im[...].astype(jnp.float32)
+    b_re = cp_re[...].astype(jnp.float32)
+    b_im = cp_im[...].astype(jnp.float32)
+    prod_re = a_re * b_re + a_im * b_im
+    prod_im = a_im * b_re - a_re * b_im
+    dphi = _atan2(prod_im, prod_re)                       # [G, h, w]
+    p = rw.shape[1]
+    tmp = jnp.dot(dphi.reshape(g * h, w), rw[...],
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)    # [G*h, P]
+    t3 = jnp.swapaxes(tmp.reshape(g, h, p), 1, 2)         # [G, P, h]
+    o2 = jnp.dot(t3.reshape(g * p, h), rh_t[...],
+                 preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)     # [G*P, P]
+    out[...] = o2.reshape(g, p, p)                        # out[g, q, p]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("phase_size", "block", "interpret"))
+def phase_diff_resize_blocked(c_t: jnp.ndarray, c_prev: jnp.ndarray,
+                              phase_size: int = 48, block: int = 8,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Blocked fused ``resize(angle(c_t * conj(c_prev)))`` (see above)."""
+    if c_t.shape != c_prev.shape:
+        raise ValueError(f"shape mismatch {c_t.shape} vs {c_prev.shape}")
+    lead = c_t.shape[:-2]
+    h, w = c_t.shape[-2:]
+    p = phase_size
+    n = int(np.prod(lead)) if lead else 1
+    g = min(block, n)
+    pad = (-n) % g
+
+    def prep(c):
+        flat = c.reshape(n, h, w)
+        if pad:
+            flat = jnp.pad(flat, ((0, pad), (0, 0), (0, 0)))
+        return flat
+
+    ct, cp = prep(c_t), prep(c_prev)
+    rw = jnp.asarray(_resize_matrix(w, p)).T              # [w, P]
+    rh_t = jnp.asarray(_resize_matrix(h, p)).T            # [h, P]
+
+    band_spec = pl.BlockSpec((g, h, w), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _blocked_kernel,
+        grid=((n + pad) // g,),
+        in_specs=[band_spec, band_spec, band_spec, band_spec,
+                  pl.BlockSpec((w, p), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((h, p), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((g, p, p), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n + pad, p, p), jnp.float32),
+        interpret=interpret,
+    )(ct.real, ct.imag, cp.real, cp.imag, rw, rh_t)
+    # kernel emits [*, q, p] (width-major); swap back to [*, p, q]
+    return jnp.swapaxes(out[:n], -1, -2).reshape(lead + (p, p))
+
+
 def micro_motion_features_fused(frames: jnp.ndarray, pyramid_spec,
-                                phase_spec,
-                                interpret: bool = False) -> jnp.ndarray:
+                                phase_spec, interpret: bool = False,
+                                block: int = 8) -> jnp.ndarray:
     """Drop-in fused replacement for ``phase.micro_motion_features``.
 
     Same contract: [B, T, H, W] grayscale -> [B, T-1, S*K, P, P].
     FFT + mask multiply run in XLA; the atan2 + resize chain runs in the
-    Pallas kernel per scale.
+    blocked Pallas kernel per scale.
     """
     from .. import pyramid as pyr_mod
 
@@ -142,6 +212,7 @@ def micro_motion_features_fused(frames: jnp.ndarray, pyramid_spec,
         xc = pyr_mod._crop(x, s)[..., None, :, :]
         band = jnp.fft.ifft2(
             jnp.fft.ifftshift(xc * masks["bands"][s], axes=(-2, -1)))
-        chans.append(phase_diff_resize(band[:, 1:], band[:, :-1],
-                                       phase_size=p, interpret=interpret))
+        chans.append(phase_diff_resize_blocked(
+            band[:, 1:], band[:, :-1], phase_size=p, block=block,
+            interpret=interpret))
     return jnp.concatenate(chans, axis=2)

@@ -30,6 +30,21 @@ class TestFusedKernel:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-4, rtol=0)
 
+    def test_blocked_kernel_matches_xla(self):
+        rng = np.random.default_rng(2)
+        shape = (3, 5, 2, 32, 32)    # leading dims deliberately not a
+        c_t = (rng.standard_normal(shape) +     # multiple of the block
+               1j * rng.standard_normal(shape)).astype(np.complex64)
+        c_p = (rng.standard_normal(shape) +
+               1j * rng.standard_normal(shape)).astype(np.complex64)
+        want = phase.resize_bilinear(
+            phase.phase_diff(jnp.asarray(c_t), jnp.asarray(c_p)), (48, 48))
+        got = phase_kernel.phase_diff_resize_blocked(
+            jnp.asarray(c_t), jnp.asarray(c_p), phase_size=48, block=8,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=0)
+
     def test_micro_motion_fused_matches_unfused(self):
         rng = np.random.default_rng(1)
         frames = jnp.asarray(
