@@ -30,6 +30,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--phase-size", type=int, default=48)
     p.add_argument("--snippet-len", type=int, default=1,
                    help="frames per snippet (1 = per-frame GRU steps)")
+    p.add_argument("--gru-layers", type=int, default=1,
+                   help="stacked GRU layers per stream")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -46,7 +48,8 @@ def _config(args):
         phase=PhaseSpec(phase_size=args.phase_size),
         backbone=BackboneSpec(input_size=args.backbone_size,
                               dtype=args.dtype),
-        temporal=TemporalSpec(snippet_len=args.snippet_len),
+        temporal=TemporalSpec(snippet_len=args.snippet_len,
+                              gru_layers=args.gru_layers),
         clip=ClipSpec(clip_len=args.clip_len, stride=args.stride,
                       crop_size=s))
 
