@@ -1,0 +1,149 @@
+"""Batch-of-streams serving: many concurrent videos, one compiled program.
+
+The reference processes one video per script invocation (SURVEY.md §3.1);
+its long-video story is chunking. The TPU-native scaling mechanism
+(SURVEY.md §5 "long-context" row) is a *batch-of-streams* axis: a fixed
+capacity of B independent video streams, each with its own GRU carry and
+one frame of pair context, advancing together through one jitted
+``predict_stream`` call per chunk — so a serving process keeps the MXU
+busy across many low-fps sources without recompilation or per-stream
+dispatch.
+
+Slot lifecycle: ``add_stream`` claims a free slot (carry zeroed on
+device), ``feed`` advances any subset of slots by one fixed-size chunk
+(idle slots burn lanes but keep shapes static), ``remove_stream`` frees
+the slot. A fresh stream's first chunk uses its own first frame as pair
+context (zero phase difference), mirroring clip-mode's zero-padded first
+step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .runner import Mimamo, Variables
+
+
+class StreamingSession:
+    def __init__(self, model: Mimamo, variables: Variables,
+                 capacity: int = 8, chunk: int = 16):
+        self.model = model
+        self.variables = variables
+        self.capacity = capacity
+        self.chunk = chunk
+        cfg = model.config
+        s = cfg.clip.crop_size
+        h = cfg.temporal.gru_hidden
+        layers = cfg.temporal.gru_layers
+        cshape = ((capacity, h) if layers == 1
+                  else (layers, capacity, h))
+        self._gru = (jnp.zeros(cshape, jnp.float32),
+                     jnp.zeros(cshape, jnp.float32))
+        self._context = jnp.zeros((capacity, 1, s, s, 3), jnp.float32)
+        self._free = list(range(capacity))
+        self._fresh = np.zeros(capacity, bool)
+        self._slot_axis = 0 if layers == 1 else 1
+
+    # -- slot management -----------------------------------------------------
+
+    def add_stream(self) -> int:
+        """Claim a slot for a new stream; returns its id."""
+        if not self._free:
+            raise RuntimeError(
+                f"all {self.capacity} stream slots in use")
+        slot = self._free.pop(0)
+        self._gru = _zero_slot(self._gru, slot, self._slot_axis)
+        self._fresh[slot] = True
+        return slot
+
+    def remove_stream(self, slot: int) -> None:
+        if slot in self._free or not 0 <= slot < self.capacity:
+            raise ValueError(f"slot {slot} is not active")
+        self._free.append(slot)
+
+    @property
+    def active_slots(self):
+        return [i for i in range(self.capacity) if i not in self._free]
+
+    # -- inference -----------------------------------------------------------
+
+    def feed(self, frames_by_slot: Dict[int, np.ndarray]
+             ) -> Dict[int, np.ndarray]:
+        """Advance streams by one chunk.
+
+        Args:
+          frames_by_slot: slot -> [chunk, S, S, 3] float 0..255 aligned
+            crops (every value must have exactly ``self.chunk`` frames;
+            slots not present simply don't advance this call... but their
+            lanes still execute, so group arrivals when possible).
+
+        Returns:
+          slot -> [chunk, 2] per-frame (valence, arousal).
+        """
+        if not frames_by_slot:
+            return {}
+        cfg = self.model.config.clip
+        s = cfg.crop_size
+        batch = np.zeros((self.capacity, self.chunk, s, s, 3), np.float32)
+        for slot, f in frames_by_slot.items():
+            if slot in self._free:
+                raise ValueError(f"slot {slot} is not active")
+            if f.shape != (self.chunk, s, s, 3):
+                raise ValueError(
+                    f"slot {slot}: expected {(self.chunk, s, s, 3)}, "
+                    f"got {f.shape}")
+            batch[slot] = f
+        x = jnp.asarray(batch)
+
+        # Fresh streams use their own first frame as pair context.
+        fed = np.asarray(sorted(frames_by_slot))
+        fresh_now = jnp.asarray(
+            [self._fresh[i] for i in range(self.capacity)], jnp.bool_)
+        context = jnp.where(fresh_now[:, None, None, None, None],
+                            x[:, :1], self._context)
+
+        out, new_gru = self._advance(self.variables, x, context,
+                                     self._gru)
+
+        # Commit state only for slots that were actually fed.
+        fed_mask = np.zeros(self.capacity, bool)
+        fed_mask[fed] = True
+        self._gru = _select_slots(new_gru, self._gru,
+                                  jnp.asarray(fed_mask),
+                                  self._slot_axis)
+        self._context = jnp.where(
+            jnp.asarray(fed_mask)[:, None, None, None, None],
+            x[:, -1:], self._context)
+        for slot in fed:
+            self._fresh[slot] = False
+
+        out_np = np.asarray(out)
+        return {slot: out_np[slot] for slot in frames_by_slot}
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _advance(self, variables, x, context, gru):
+        chunk_in = jnp.concatenate([context, x], axis=1)
+        return self.model._predict_stream(variables, chunk_in, gru)
+
+
+def _zero_slot(carries, slot, axis):
+    def z(c):
+        idx = (slice(None),) * axis + (slot,)
+        return c.at[idx].set(0.0)
+    return jax.tree_util.tree_map(z, carries)
+
+
+def _select_slots(new, old, mask, axis):
+    def sel(n, o):
+        m = mask
+        if axis == 1:                       # [L, B, H] layout
+            m = mask[None, :, None]
+        else:                               # [B, H]
+            m = mask[:, None]
+        return jnp.where(m, n, o)
+    return jax.tree_util.tree_map(sel, new, old)

@@ -1,0 +1,93 @@
+"""Batch-of-streams serving tests: session output == independent
+single-stream inference, slot lifecycle, partial feeds."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mimamo_tpu.runner import Mimamo
+from mimamo_tpu.streaming import StreamingSession
+
+from test_runner import tiny_config
+
+
+@pytest.fixture(scope="module")
+def model_vars():
+    model = Mimamo(tiny_config())
+    return model, model.init_variables(jax.random.PRNGKey(0))
+
+
+def _video(t, seed, s=32):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(0, 255, (t, s, s, 3)).astype(np.float32)
+
+
+def _reference_stream(model, variables, video, chunk):
+    """Independent per-video streaming with the session's fresh-stream
+    semantics (first frame duplicated as pair context)."""
+    outs, carries = [], None
+    x = jnp.asarray(video)[None]
+    from mimamo_tpu.temporal import init_carries
+    gru = init_carries(model.config.temporal, 1)
+    for start in range(0, video.shape[0], chunk):
+        piece = x[:, start:start + chunk]
+        ctx = piece[:, :1] if start == 0 else x[:, start - 1:start]
+        out, gru = model._predict_stream(
+            variables, jnp.concatenate([ctx, piece], axis=1), gru)
+        outs.append(np.asarray(out[0]))
+    return np.concatenate(outs, axis=0)
+
+
+class TestStreamingSession:
+    def test_matches_independent_streams(self, model_vars):
+        model, variables = model_vars
+        chunk = 4
+        sess = StreamingSession(model, variables, capacity=4, chunk=chunk)
+        videos = {sess.add_stream(): _video(12, seed) for seed in (1, 2)}
+        got = {slot: [] for slot in videos}
+        for start in range(0, 12, chunk):
+            feed = {slot: v[start:start + chunk]
+                    for slot, v in videos.items()}
+            out = sess.feed(feed)
+            for slot, o in out.items():
+                got[slot].append(o)
+        for slot, v in videos.items():
+            want = _reference_stream(model, variables, v, chunk)
+            np.testing.assert_allclose(
+                np.concatenate(got[slot]), want, atol=1e-4)
+
+    def test_staggered_add_remove(self, model_vars):
+        """A stream added mid-session gets fresh state, and removing a
+        stream frees its slot for reuse with re-zeroed carries."""
+        model, variables = model_vars
+        chunk = 4
+        sess = StreamingSession(model, variables, capacity=2, chunk=chunk)
+        a = sess.add_stream()
+        va, vb = _video(8, 3), _video(8, 4)
+        out_a1 = sess.feed({a: va[:4]})[a]
+        b = sess.add_stream()
+        sess.feed({a: va[4:], b: vb[:4]})
+        sess.remove_stream(a)
+        c = sess.add_stream()          # reuses slot a
+        assert c == a
+        out_c = sess.feed({c: va[:4]})[c]
+        # fresh slot c on the same data reproduces the original first
+        # chunk — stale carries would leak stream a's state
+        np.testing.assert_allclose(out_c, out_a1, atol=1e-5)
+
+    def test_capacity_exhausted(self, model_vars):
+        model, variables = model_vars
+        sess = StreamingSession(model, variables, capacity=1, chunk=4)
+        sess.add_stream()
+        with pytest.raises(RuntimeError, match="slots in use"):
+            sess.add_stream()
+
+    def test_bad_feed_shapes_rejected(self, model_vars):
+        model, variables = model_vars
+        sess = StreamingSession(model, variables, capacity=2, chunk=4)
+        slot = sess.add_stream()
+        with pytest.raises(ValueError, match="expected"):
+            sess.feed({slot: _video(3, 0)})
+        with pytest.raises(ValueError, match="not active"):
+            sess.feed({1: _video(4, 0)})
