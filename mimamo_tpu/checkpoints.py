@@ -91,7 +91,9 @@ def load_pth(path: str) -> Dict[str, np.ndarray]:
 # -- reference two-stream checkpoint mapping --------------------------------
 
 _GRU_PARTS = ("w_ih", "w_hh", "b_ih", "b_hh")
-_TORCH_GRU = ("weight_ih_l0", "weight_hh_l0", "bias_ih_l0", "bias_hh_l0")
+_TORCH_GRU = ("weight_ih_l{i}", "weight_hh_l{i}", "bias_ih_l{i}",
+              "bias_hh_l{i}")
+_MAX_GRU_LAYERS = 8
 
 
 def load_temporal_state_dict(state_dict: Dict[str, np.ndarray],
@@ -116,10 +118,14 @@ def load_temporal_state_dict(state_dict: Dict[str, np.ndarray],
     params: Dict[str, Any] = {}
     for stream in ("gru_micro", "gru_macro"):
         node = {}
-        for flax_name, torch_name in zip(_GRU_PARTS, _TORCH_GRU):
-            key = f"{stream}.{torch_name}"
-            if key in sd:
-                node[flax_name] = jax.numpy.asarray(sd[key])
+        # Layer 0 keeps flat flax names; stacked layers are prefixed
+        # l<i>_ (see temporal.GRU).
+        for li in range(_MAX_GRU_LAYERS):
+            prefix = "" if li == 0 else f"l{li}_"
+            for flax_name, torch_tpl in zip(_GRU_PARTS, _TORCH_GRU):
+                key = f"{stream}.{torch_tpl.format(i=li)}"
+                if key in sd:
+                    node[prefix + flax_name] = jax.numpy.asarray(sd[key])
         if node:
             params[stream] = node
     for dense in ("macro_proj", "fusion", "head"):

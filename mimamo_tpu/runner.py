@@ -85,7 +85,8 @@ class Mimamo:
 
     def forward(self, variables: Variables, crops_rgb: jnp.ndarray,
                 carries: Optional[Carries] = None,
-                include_first_pair: bool = False
+                include_first_pair: bool = False,
+                first_pair_invalid: Optional[jnp.ndarray] = None
                 ) -> Tuple[jnp.ndarray, Carries]:
         """Full forward on aligned crops.
 
@@ -108,7 +109,8 @@ class Mimamo:
         if include_first_pair:
             emb = emb[:, 1:]
         return self.temporal.apply(variables["temporal"], phase_stacks,
-                                   emb, carries)
+                                   emb, carries,
+                                   first_pair_invalid=first_pair_invalid)
 
     def _micro_motion(self, gray: jnp.ndarray) -> jnp.ndarray:
         """Micro-motion features, fused Pallas kernel when applicable.
@@ -139,11 +141,14 @@ class Mimamo:
 
     @functools.partial(jax.jit, static_argnums=0)
     def _predict_stream(self, variables: Variables, crops_rgb: jnp.ndarray,
-                        carries: Carries) -> Tuple[jnp.ndarray, Carries]:
+                        carries: Carries,
+                        first_pair_invalid: Optional[jnp.ndarray] = None
+                        ) -> Tuple[jnp.ndarray, Carries]:
         # crops_rgb: [B, chunk+1, ...] — first frame is the previous
         # chunk's last frame (pair context only; no prediction emitted).
-        out, new_carries = self.forward(variables, crops_rgb, carries,
-                                        include_first_pair=True)
+        out, new_carries = self.forward(
+            variables, crops_rgb, carries, include_first_pair=True,
+            first_pair_invalid=first_pair_invalid)
         return out, new_carries
 
     def predict_stream(self, variables: Variables, crops_rgb: jnp.ndarray,

@@ -12,21 +12,22 @@ dispatch.
 Slot lifecycle: ``add_stream`` claims a free slot (carry zeroed on
 device), ``feed`` advances any subset of slots by one fixed-size chunk
 (idle slots burn lanes but keep shapes static), ``remove_stream`` frees
-the slot. A fresh stream's first chunk uses its own first frame as pair
-context (zero phase difference), mirroring clip-mode's zero-padded first
-step.
+the slot. A fresh stream's first chunk duplicates its first frame as
+pair context AND zeroes that step's micro embedding (via the model's
+``first_pair_invalid`` mask), so step 0 matches clip mode exactly.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .runner import Mimamo, Variables
+from .temporal import init_carries
 
 
 class StreamingSession:
@@ -38,16 +39,11 @@ class StreamingSession:
         self.chunk = chunk
         cfg = model.config
         s = cfg.clip.crop_size
-        h = cfg.temporal.gru_hidden
-        layers = cfg.temporal.gru_layers
-        cshape = ((capacity, h) if layers == 1
-                  else (layers, capacity, h))
-        self._gru = (jnp.zeros(cshape, jnp.float32),
-                     jnp.zeros(cshape, jnp.float32))
+        self._gru = init_carries(cfg.temporal, capacity)
         self._context = jnp.zeros((capacity, 1, s, s, 3), jnp.float32)
         self._free = list(range(capacity))
         self._fresh = np.zeros(capacity, bool)
-        self._slot_axis = 0 if layers == 1 else 1
+        self._slot_axis = 0 if cfg.temporal.gru_layers == 1 else 1
 
     # -- slot management -----------------------------------------------------
 
@@ -91,7 +87,9 @@ class StreamingSession:
         s = cfg.crop_size
         batch = np.zeros((self.capacity, self.chunk, s, s, 3), np.float32)
         for slot, f in frames_by_slot.items():
-            if slot in self._free:
+            if (not isinstance(slot, (int, np.integer))
+                    or not 0 <= slot < self.capacity
+                    or slot in self._free):
                 raise ValueError(f"slot {slot} is not active")
             if f.shape != (self.chunk, s, s, 3):
                 raise ValueError(
@@ -100,15 +98,15 @@ class StreamingSession:
             batch[slot] = f
         x = jnp.asarray(batch)
 
-        # Fresh streams use their own first frame as pair context.
+        # Fresh streams: own first frame as pair context AND the model
+        # zeroes their step-0 micro embedding (clip-mode equivalence).
         fed = np.asarray(sorted(frames_by_slot))
-        fresh_now = jnp.asarray(
-            [self._fresh[i] for i in range(self.capacity)], jnp.bool_)
+        fresh_now = jnp.asarray(self._fresh.copy())
         context = jnp.where(fresh_now[:, None, None, None, None],
                             x[:, :1], self._context)
 
         out, new_gru = self._advance(self.variables, x, context,
-                                     self._gru)
+                                     self._gru, fresh_now)
 
         # Commit state only for slots that were actually fed.
         fed_mask = np.zeros(self.capacity, bool)
@@ -126,9 +124,10 @@ class StreamingSession:
         return {slot: out_np[slot] for slot in frames_by_slot}
 
     @functools.partial(jax.jit, static_argnums=0)
-    def _advance(self, variables, x, context, gru):
+    def _advance(self, variables, x, context, gru, fresh):
         chunk_in = jnp.concatenate([context, x], axis=1)
-        return self.model._predict_stream(variables, chunk_in, gru)
+        return self.model._predict_stream(variables, chunk_in, gru,
+                                          first_pair_invalid=fresh)
 
 
 def _zero_slot(carries, slot, axis):

@@ -131,12 +131,17 @@ class TwoStreamRNN(nn.Module):
         rgb_feats: jnp.ndarray,       # [B, T, F] appearance embeddings
         carries: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         train: bool = False,
+        first_pair_invalid: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
         """Returns ([B, T, num_outputs] per-frame predictions, new carries).
 
         When ``carries`` is None, both GRUs start from zeros (clip mode);
         passing the previous chunk's carries gives streaming over
         arbitrarily long videos (BASELINE.json config 3).
+        ``first_pair_invalid`` ([B] bool) zeroes the step-0 micro
+        embedding per batch row in streaming (tm1 == t) mode — used by
+        StreamingSession so a fresh stream's first step exactly matches
+        clip mode's zero-padded first pair.
         """
         spec = self.spec
         b, tm1 = phase_stacks.shape[0], phase_stacks.shape[1]
@@ -153,6 +158,9 @@ class TwoStreamRNN(nn.Module):
             micro = jnp.pad(micro, ((0, 0), (1, 0), (0, 0)))
         elif tm1 != t:
             raise ValueError(f"phase stacks T-1={tm1} vs frames T={t}")
+        if first_pair_invalid is not None:
+            keep = 1.0 - first_pair_invalid.astype(micro.dtype)
+            micro = micro.at[:, 0].multiply(keep[:, None])
 
         macro = nn.Dense(spec.macro_embed_dim, name="macro_proj")(rgb_feats)
         macro = nn.relu(macro)

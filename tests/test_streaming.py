@@ -24,17 +24,13 @@ def _video(t, seed, s=32):
 
 
 def _reference_stream(model, variables, video, chunk):
-    """Independent per-video streaming with the session's fresh-stream
-    semantics (first frame duplicated as pair context)."""
+    """Canonical public streaming API (clip-mode first chunk) — the
+    session must reproduce this exactly."""
     outs, carries = [], None
     x = jnp.asarray(video)[None]
-    from mimamo_tpu.temporal import init_carries
-    gru = init_carries(model.config.temporal, 1)
     for start in range(0, video.shape[0], chunk):
-        piece = x[:, start:start + chunk]
-        ctx = piece[:, :1] if start == 0 else x[:, start - 1:start]
-        out, gru = model._predict_stream(
-            variables, jnp.concatenate([ctx, piece], axis=1), gru)
+        out, carries = model.predict_stream(
+            variables, x[:, start:start + chunk], carries)
         outs.append(np.asarray(out[0]))
     return np.concatenate(outs, axis=0)
 

@@ -211,6 +211,25 @@ class TestCheckpoints:
         # merge preserved untouched (framework-native) micro-CNN params
         assert "micro_cnn" in merged
 
+    def test_stacked_gru_checkpoint_mapping(self):
+        """2-layer torch GRU tensors map onto the l1_-prefixed flax
+        names (docs/WEIGHTS.md contract)."""
+        h, d = 4, 6
+        sd = {}
+        for li in (0, 1):
+            din = d if li == 0 else h
+            sd[f"gru_macro.weight_ih_l{li}"] = np.full(
+                (3 * h, din), float(li), np.float32)
+            sd[f"gru_macro.weight_hh_l{li}"] = np.zeros((3 * h, h),
+                                                        np.float32)
+            sd[f"gru_macro.bias_ih_l{li}"] = np.zeros(3 * h, np.float32)
+            sd[f"gru_macro.bias_hh_l{li}"] = np.zeros(3 * h, np.float32)
+        out = checkpoints.load_temporal_state_dict(sd)
+        node = out["params"]["gru_macro"]
+        assert node["w_ih"].shape == (12, 6)
+        assert node["l1_w_ih"].shape == (12, 4)
+        assert float(node["l1_w_ih"][0, 0]) == 1.0
+
     def test_prefix_map_translation(self):
         h = 4
         sd = {"rnn1.weight_ih_l0": np.zeros((3 * h, 8), np.float32),
