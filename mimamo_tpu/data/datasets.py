@@ -41,6 +41,63 @@ class ClipIndex:
     start: int         # first frame of the window
 
 
+class CropSource:
+    """Uniform reader over the two crop storage layouts: a packed
+    ``.npy`` array, or the reference's per-frame image directory
+    (OpenFace ``cropped_aligned`` style — SURVEY.md §2)."""
+
+    def __init__(self, path: str, crop_size: Optional[int] = None):
+        self.path = path
+        self.crop_size = crop_size
+        if os.path.isdir(path):
+            from ..io import decode
+            self.kind = "dir"
+            self._names = sorted(
+                f for f in os.listdir(path)
+                if f.lower().endswith(decode.IMAGE_EXTS))
+            if not self._names:
+                raise ValueError(f"no crop images in {path}")
+            self._len = len(self._names)
+        elif path.endswith(".npy") and os.path.exists(path):
+            self.kind = "npy"
+            self._len = int(np.load(path, mmap_mode="r").shape[0])
+        else:
+            raise FileNotFoundError(
+                f"crops not found (tried npy file / image dir): {path}")
+
+    def __len__(self) -> int:
+        return self._len
+
+    def read(self, start: int, count: int) -> np.ndarray:
+        if self.kind == "npy":
+            arr = np.load(self.path, mmap_mode="r")
+            return np.asarray(arr[start:start + count])
+        import cv2
+        frames = []
+        for name in self._names[start:start + count]:
+            img = cv2.imread(os.path.join(self.path, name))
+            if img is None:
+                raise ValueError(f"unreadable image {name} in {self.path}")
+            if (self.crop_size is not None
+                    and img.shape[:2] != (self.crop_size,) * 2):
+                img = cv2.resize(img, (self.crop_size,) * 2,
+                                 interpolation=cv2.INTER_LINEAR)
+            frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+        return np.stack(frames)
+
+    def read_all(self) -> np.ndarray:
+        return self.read(0, self._len)
+
+
+def _resolve_crops(base_without_ext: str,
+                   crop_size: Optional[int]) -> CropSource:
+    """Prefer ``<base>.npy``; fall back to the ``<base>/`` image dir."""
+    npy = base_without_ext + ".npy"
+    if os.path.exists(npy):
+        return CropSource(npy, crop_size)
+    return CropSource(base_without_ext, crop_size)
+
+
 class _ClipDataset:
     """Shared sliding-window clip sampling over variable-length sequences."""
 
@@ -99,18 +156,15 @@ class OMGEmotionDataset(_ClipDataset):
                 self.rows.append((row["video"], row["utterance"],
                                   float(row["valence"]),
                                   float(row["arousal"])))
-        lengths = []
-        self._paths = []
+        self._sources = []
         for video, utt, _v, _a in self.rows:
-            path = os.path.join(root, video, utt + ".npy")
-            self._paths.append(path)
-            lengths.append(int(np.load(path, mmap_mode="r").shape[0]))
-        self._build_index(lengths)
+            self._sources.append(_resolve_crops(
+                os.path.join(root, video, utt), clip.crop_size))
+        self._build_index([len(s) for s in self._sources])
 
     def _load(self, ci: ClipIndex):
         t = self.clip.clip_len
-        arr = np.load(self._paths[ci.source], mmap_mode="r")
-        clips = np.asarray(arr[ci.start:ci.start + t])
+        clips = self._sources[ci.source].read(ci.start, t)
         _video, _utt, v, a = self.rows[ci.source]
         labels = np.tile(np.asarray([v, a], np.float32), (t, 1))
         return clips, labels, np.ones(t, np.float32)
@@ -119,7 +173,7 @@ class OMGEmotionDataset(_ClipDataset):
         """(row index, full crop sequence, (v, a) label) per utterance —
         the evaluation granularity."""
         for i, (video, utt, v, a) in enumerate(self.rows):
-            yield i, np.asarray(np.load(self._paths[i])), np.asarray(
+            yield i, self._sources[i].read_all(), np.asarray(
                 [v, a], np.float32)
 
 
@@ -133,31 +187,39 @@ class AffWild2Dataset(_ClipDataset):
         super().__init__(clip or ClipSpec())
         self.root = root
         crops_dir = os.path.join(root, "crops")
+        if not os.path.isdir(crops_dir):
+            # Reference Aff-Wild2 layout uses cropped_aligned/<video>/
+            alt = os.path.join(root, "cropped_aligned")
+            if os.path.isdir(alt):
+                crops_dir = alt
         if videos is None:
-            videos = sorted(os.path.splitext(f)[0]
-                            for f in os.listdir(crops_dir)
-                            if f.endswith(".npy"))
+            entries = os.listdir(crops_dir)
+            videos = sorted(
+                {os.path.splitext(f)[0] for f in entries
+                 if f.endswith(".npy")}
+                | {f for f in entries
+                   if os.path.isdir(os.path.join(crops_dir, f))})
         self.videos = list(videos)
         self._labels: List[np.ndarray] = []
-        self._paths: List[str] = []
+        self._sources: List[CropSource] = []
         lengths = []
         for vid in self.videos:
-            path = os.path.join(crops_dir, vid + ".npy")
             ann = os.path.join(root, "annotations", vid + ".txt")
             labels = _read_affwild2_annotations(ann)
-            n = int(np.load(path, mmap_mode="r").shape[0])
-            if len(labels) != n:
+            src = _resolve_crops(os.path.join(crops_dir, vid),
+                                 self.clip.crop_size)
+            if len(labels) != len(src):
                 raise ValueError(
-                    f"{vid}: {n} crops but {len(labels)} annotation rows")
-            self._paths.append(path)
+                    f"{vid}: {len(src)} crops but {len(labels)} "
+                    f"annotation rows")
+            self._sources.append(src)
             self._labels.append(labels)
-            lengths.append(n)
+            lengths.append(len(src))
         self._build_index(lengths)
 
     def _load(self, ci: ClipIndex):
         t = self.clip.clip_len
-        arr = np.load(self._paths[ci.source], mmap_mode="r")
-        clips = np.asarray(arr[ci.start:ci.start + t])
+        clips = self._sources[ci.source].read(ci.start, t)
         labels = self._labels[ci.source][ci.start:ci.start + t]
         mask = (labels != self.INVALID).all(axis=-1).astype(np.float32)
         return clips, np.where(labels == self.INVALID, 0.0, labels), mask
@@ -168,7 +230,7 @@ class AffWild2Dataset(_ClipDataset):
         for i, vid in enumerate(self.videos):
             labels = self._labels[i]
             mask = (labels != self.INVALID).all(axis=-1).astype(np.float32)
-            yield (vid, np.asarray(np.load(self._paths[i])),
+            yield (vid, self._sources[i].read_all(),
                    np.where(labels == self.INVALID, 0.0, labels), mask)
 
 

@@ -59,6 +59,40 @@ def write_video(path: str, frames_rgb: np.ndarray, fps: float = 25.0
     out.release()
 
 
+IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
+
+
+def load_image_dir(path: str, size: Optional[int] = None) -> np.ndarray:
+    """Directory of per-frame images -> [T, H, W, 3] RGB uint8.
+
+    The reference's OpenFace stage writes one aligned-crop image per
+    frame into a directory (SURVEY.md §2 "Video preprocessor"); this
+    reads that layout (sorted filenames = frame order), optionally
+    resizing to ``size``.
+    """
+    if cv2 is None:
+        raise RuntimeError("OpenCV is required to read image dirs")
+    names = sorted(f for f in os.listdir(path)
+                   if f.lower().endswith(IMAGE_EXTS))
+    if not names:
+        raise ValueError(f"no images found in {path}")
+    frames = []
+    for name in names:
+        img = cv2.imread(os.path.join(path, name))
+        if img is None:
+            raise ValueError(f"unreadable image: {name} in {path}")
+        if size is not None and img.shape[:2] != (size, size):
+            img = cv2.resize(img, (size, size),
+                             interpolation=cv2.INTER_LINEAR)
+        frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+    shapes = {f.shape for f in frames}
+    if len(shapes) > 1:
+        raise ValueError(
+            f"{path}: inconsistent frame shapes {sorted(shapes)}; pass "
+            f"size= to normalize")
+    return np.stack(frames)
+
+
 def _haar_detector():
     if cv2 is None:
         return None

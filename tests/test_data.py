@@ -91,6 +91,60 @@ class TestAffWild2:
         assert -1.0 <= out["mean_ccc"] <= 1.0
 
 
+class TestImageDirLayout:
+    """Reference-style per-frame image directories as crop sources."""
+
+    def _write_image_dir(self, path, frames):
+        import cv2
+        os.makedirs(path)
+        for i, f in enumerate(frames):
+            cv2.imwrite(os.path.join(path, f"frame_{i:04d}.png"),
+                        cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+
+    def test_omg_image_dir_equals_npy(self, tmp_path):
+        rng = np.random.default_rng(7)
+        frames = rng.uniform(0, 255, (12, 32, 32, 3)).astype(np.uint8)
+        root = str(tmp_path / "omg")
+        os.makedirs(os.path.join(root, "video0"))
+        np.save(os.path.join(root, "video0", "uttA.npy"), frames)
+        self._write_image_dir(os.path.join(root, "video0", "uttB"),
+                              frames)
+        with open(os.path.join(root, "manifest.csv"), "w") as f:
+            f.write("video,utterance,valence,arousal\n"
+                    "video0,uttA,0.5,0.1\nvideo0,uttB,0.5,0.1\n")
+        cfg = tiny_config(clip_len=8, stride=4)
+        ds = datasets.OMGEmotionDataset(root, os.path.join(
+            root, "manifest.csv"), cfg.clip)
+        batches = list(ds.batches(4))
+        clips = np.concatenate([b["clips"] for b in batches])
+        # PNG round-trip is lossless: both sources yield identical clips
+        half = len(clips) // 2
+        np.testing.assert_array_equal(clips[:half], clips[half:])
+
+    def test_affwild2_cropped_aligned_layout(self, tmp_path):
+        rng = np.random.default_rng(8)
+        frames = rng.uniform(0, 255, (10, 32, 32, 3)).astype(np.uint8)
+        root = str(tmp_path / "aw")
+        self._write_image_dir(
+            os.path.join(root, "cropped_aligned", "vidX"), frames)
+        os.makedirs(os.path.join(root, "annotations"))
+        with open(os.path.join(root, "annotations", "vidX.txt"),
+                  "w") as f:
+            f.write("valence,arousal\n" +
+                    "\n".join("0.1,0.2" for _ in range(10)))
+        cfg = tiny_config(clip_len=8, stride=8)
+        ds = datasets.AffWild2Dataset(root, clip=cfg.clip)
+        assert ds.videos == ["vidX"]
+        b = next(ds.batches(1))
+        assert b["clips"].shape == (1, 8, 32, 32, 3)
+        name, crops, labels, mask = next(ds.full_videos())
+        np.testing.assert_array_equal(crops, frames)
+
+    def test_missing_crops_raise(self, tmp_path):
+        with np.testing.assert_raises(FileNotFoundError):
+            datasets.CropSource(str(tmp_path / "nope.npy"))
+
+
 class TestCCCNp:
     def test_matches_jax_ccc(self):
         from mimamo_tpu import losses
