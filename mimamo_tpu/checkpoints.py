@@ -11,12 +11,14 @@ north-star requirement, so both directions are covered:
     (no CUDA needed; torch-CPU only, soft dependency).
   * backbone weights: ``backbone.load_torch_state_dict``.
   * :func:`load_temporal_state_dict` — map a reference-style two-stream
-    ``state_dict`` (GRU/FC tensors) onto the flax temporal model.
+    ``state_dict`` (micro-CNN conv/BN, GRU, FC tensors) onto the flax
+    temporal model; strict by default (unmapped keys raise).
 """
 
 from __future__ import annotations
 
 import os
+import re
 from typing import Any, Dict, Optional
 
 import jax
@@ -90,24 +92,52 @@ def load_pth(path: str) -> Dict[str, np.ndarray]:
 
 # -- reference two-stream checkpoint mapping --------------------------------
 
-_GRU_PARTS = ("w_ih", "w_hh", "b_ih", "b_hh")
-_TORCH_GRU = ("weight_ih_l{i}", "weight_hh_l{i}", "bias_ih_l{i}",
-              "bias_hh_l{i}")
-_MAX_GRU_LAYERS = 8
+_GRU_KEY = re.compile(
+    r"^(gru_micro|gru_macro)\.(weight_ih|weight_hh|bias_ih|bias_hh)"
+    r"_l(\d+)$")
+_GRU_FLAX = {"weight_ih": "w_ih", "weight_hh": "w_hh",
+             "bias_ih": "b_ih", "bias_hh": "b_hh"}
+_MICRO_KEY = re.compile(
+    r"^micro_cnn\.(conv|bn)(\d+)\.(weight|bias|running_mean|running_var)$")
+_DENSES = ("macro_proj", "fusion", "head")
+
+
+def micro_fc_input_shape(spec, phase_size: int
+                         ) -> "tuple[int, int, int]":
+    """(H, W, C) of the micro-CNN activation flattened into its fc layer.
+
+    Each conv block halves the spatial extent via 2x2 max-pool; the last
+    conv width is the channel count (temporal.MicroCNN layout).
+    """
+    side = phase_size >> len(spec.micro_cnn_features)
+    return side, side, spec.micro_cnn_features[-1]
 
 
 def load_temporal_state_dict(state_dict: Dict[str, np.ndarray],
-                             prefix_map: Optional[Dict[str, str]] = None
-                             ) -> Dict[str, Any]:
-    """Map a torch two-stream ``state_dict`` onto flax temporal params.
+                             prefix_map: Optional[Dict[str, str]] = None,
+                             spec=None,
+                             phase_size: Optional[int] = None,
+                             strict: bool = True) -> Dict[str, Any]:
+    """Map a torch two-stream ``state_dict`` onto flax temporal variables.
 
     Canonical torch schema (documented contract; translate foreign names
     via ``prefix_map`` source-prefix -> canonical-prefix):
-      gru_micro.{weight_ih_l0,...}   gru_macro.{...}
+      gru_micro.{weight_ih_l<i>, weight_hh_l<i>, bias_*_l<i>}  gru_macro.{...}
+      micro_cnn.conv<i>.weight   micro_cnn.bn<i>.{weight,bias,
+          running_mean,running_var}   micro_cnn.fc.{weight,bias}
       macro_proj.{weight,bias}  fusion.{weight,bias}  head.{weight,bias}
 
-    Returns a partial ``{"params": ...}`` tree to merge over initialized
-    variables (micro-CNN weights are framework-native, trained here).
+    Args:
+      spec, phase_size: ``TemporalSpec`` + phase-map resolution; required
+        only when the state_dict contains ``micro_cnn.fc.weight`` — the
+        fc kernel must be permuted from torch's NCHW flatten order to
+        flax's NHWC flatten order, which needs the pre-flatten shape.
+      strict: raise on state-dict keys that map to nothing (the silent-
+        drop failure mode: a foreign schema without ``prefix_map`` would
+        otherwise load nothing and leave random weights in place).
+
+    Returns a partial ``{"params": ..., "batch_stats": ...}`` tree to
+    merge over initialized variables (see :func:`merge_params`).
     """
     sd = dict(state_dict)
     if prefix_map:
@@ -116,25 +146,86 @@ def load_temporal_state_dict(state_dict: Dict[str, np.ndarray],
                 if k.startswith(src):
                     sd[dst + k[len(src):]] = sd.pop(k)
     params: Dict[str, Any] = {}
-    for stream in ("gru_micro", "gru_macro"):
-        node = {}
-        # Layer 0 keeps flat flax names; stacked layers are prefixed
-        # l<i>_ (see temporal.GRU).
-        for li in range(_MAX_GRU_LAYERS):
+    stats: Dict[str, Any] = {}
+    unconsumed = []
+
+    def put(tree, path, arr):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = jax.numpy.asarray(arr)
+
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        arr = np.asarray(v)
+        m = _GRU_KEY.match(k)
+        if m:
+            stream, part, li = m.group(1), m.group(2), int(m.group(3))
             prefix = "" if li == 0 else f"l{li}_"
-            for flax_name, torch_tpl in zip(_GRU_PARTS, _TORCH_GRU):
-                key = f"{stream}.{torch_tpl.format(i=li)}"
-                if key in sd:
-                    node[prefix + flax_name] = jax.numpy.asarray(sd[key])
-        if node:
-            params[stream] = node
-    for dense in ("macro_proj", "fusion", "head"):
-        if f"{dense}.weight" in sd:
-            params[dense] = {
-                "kernel": jax.numpy.asarray(sd[f"{dense}.weight"]).T,
-                "bias": jax.numpy.asarray(sd[f"{dense}.bias"]),
-            }
-    return {"params": params}
+            put(params, (stream, prefix + _GRU_FLAX[part]), arr)
+            continue
+        m = _MICRO_KEY.match(k)
+        if m:
+            kind, idx, part = m.groups()
+            layer = f"{kind}{idx}"
+            if kind == "conv" and part == "weight":
+                put(params, ("micro_cnn", layer, "kernel"),
+                    arr.transpose(2, 3, 1, 0))       # OIHW -> HWIO
+            elif kind == "bn" and part in ("weight", "bias"):
+                put(params, ("micro_cnn", layer,
+                             "scale" if part == "weight" else "bias"), arr)
+            elif kind == "bn":
+                put(stats, ("micro_cnn", layer,
+                            part.replace("running_", "")), arr)
+            else:
+                unconsumed.append(k)
+            continue
+        if k == "micro_cnn.fc.weight":
+            if spec is None or phase_size is None:
+                raise ValueError(
+                    "micro_cnn.fc.weight present: pass spec= "
+                    "(TemporalSpec) and phase_size= so the NCHW->NHWC "
+                    "flatten permutation can be computed")
+            h, w, c = micro_fc_input_shape(spec, phase_size)
+            if arr.shape[1] != h * w * c:
+                raise ValueError(
+                    f"micro_cnn.fc.weight in-dim {arr.shape[1]} != "
+                    f"H*W*C = {h}*{w}*{c} from spec/phase_size — the "
+                    f"checkpoint's CNN layout differs from the config")
+            # torch flattens NCHW as (c, h, w); flax flattens NHWC as
+            # (h, w, c). Permute the kernel's input axis accordingly.
+            arr = arr.reshape(-1, c, h, w).transpose(0, 2, 3, 1)
+            put(params, ("micro_cnn", "fc", "kernel"),
+                arr.reshape(arr.shape[0], -1).T)
+            continue
+        if k == "micro_cnn.fc.bias":
+            put(params, ("micro_cnn", "fc", "bias"), arr)
+            continue
+        dense = k.rsplit(".", 1)[0]
+        if dense in _DENSES and k.endswith(".weight"):
+            put(params, (dense, "kernel"), arr.T)
+            continue
+        if dense in _DENSES and k.endswith(".bias"):
+            put(params, (dense, "bias"), arr)
+            continue
+        unconsumed.append(k)
+    if strict and unconsumed:
+        raise KeyError(
+            f"unmapped state_dict keys (pass prefix_map to translate, or "
+            f"strict=False to skip): {sorted(unconsumed)}")
+    return {"params": params, "batch_stats": stats}
+
+
+def merge_variables(variables: Dict[str, Any], overlay: Dict[str, Any]
+                    ) -> Dict[str, Any]:
+    """Merge a ``{"params", "batch_stats"}`` overlay over flax variables
+    (empty overlay collections leave the originals untouched)."""
+    out = dict(variables)
+    for col, sub in overlay.items():
+        if sub:
+            out[col] = merge_params(variables.get(col, {}), sub)
+    return out
 
 
 def merge_params(base: Dict[str, Any], overlay: Dict[str, Any]

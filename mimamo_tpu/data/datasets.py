@@ -83,6 +83,11 @@ class CropSource:
                 img = cv2.resize(img, (self.crop_size,) * 2,
                                  interpolation=cv2.INTER_LINEAR)
             frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+        shapes = {f.shape for f in frames}
+        if len(shapes) > 1:
+            raise ValueError(
+                f"{self.path}: inconsistent frame shapes {sorted(shapes)}; "
+                f"pass crop_size= to normalize")
         return np.stack(frames)
 
     def read_all(self) -> np.ndarray:
@@ -237,8 +242,13 @@ class AffWild2Dataset(_ClipDataset):
 def _read_affwild2_annotations(path: str) -> np.ndarray:
     with open(path) as f:
         lines = [ln.strip() for ln in f if ln.strip()]
-    if lines and not lines[0][0].isdigit() and not lines[0].startswith("-"):
-        lines = lines[1:]  # "valence,arousal" header
+    if lines:
+        # Header detection by parse attempt: first-character heuristics
+        # misclassify data rows like ".5,.3" or "+0.2,0.1" as headers.
+        try:
+            [float(x) for x in lines[0].split(",")]
+        except ValueError:
+            lines = lines[1:]  # "valence,arousal" header
     return np.asarray([[float(x) for x in ln.split(",")] for ln in lines],
                       np.float32)
 

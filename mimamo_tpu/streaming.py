@@ -58,7 +58,8 @@ class StreamingSession:
         return slot
 
     def remove_stream(self, slot: int) -> None:
-        if slot in self._free or not 0 <= slot < self.capacity:
+        if (not isinstance(slot, (int, np.integer))
+                or slot in self._free or not 0 <= slot < self.capacity):
             raise ValueError(f"slot {slot} is not active")
         self._free.append(slot)
 

@@ -102,21 +102,30 @@ class GRU(nn.Module):
 
 
 class MicroCNN(nn.Module):
-    """Small CNN encoding a stacked phase-diff map into an embedding."""
+    """Small CNN encoding a stacked phase-diff map into an embedding.
+
+    Layer names (``conv1``/``bn1``/... /``fc``) are the checkpoint
+    contract: ``checkpoints.load_temporal_state_dict`` maps a reference
+    two-stream ``.pth``'s micro-CNN tensors onto them 1:1 (the flatten
+    before ``fc`` is NHWC here vs torch's NCHW — the importer permutes
+    the fc kernel accordingly).
+    """
 
     spec: TemporalSpec
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """x: [N, P, P, C] (NHWC) -> [N, micro_embed_dim]."""
-        for feats in self.spec.micro_cnn_features:
-            x = nn.Conv(feats, (3, 3), padding="SAME", use_bias=False)(x)
+        for i, feats in enumerate(self.spec.micro_cnn_features):
+            x = nn.Conv(feats, (3, 3), padding="SAME", use_bias=False,
+                        name=f"conv{i + 1}")(x)
             x = nn.BatchNorm(use_running_average=not train,
-                             momentum=0.9, epsilon=1e-5)(x)
+                             momentum=0.9, epsilon=1e-5,
+                             name=f"bn{i + 1}")(x)
             x = nn.relu(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = x.reshape(x.shape[0], -1)
-        return nn.Dense(self.spec.micro_embed_dim)(x)
+        return nn.Dense(self.spec.micro_embed_dim, name="fc")(x)
 
 
 class TwoStreamRNN(nn.Module):

@@ -8,7 +8,7 @@ import torch.nn.functional as F
 from mimamo_tpu.config import PhaseSpec, PyramidSpec
 from mimamo_tpu import phase
 
-from oracles import pyramid_np
+from oracles import pyramid_np, pyramid_torch
 
 
 PYR = PyramidSpec(height=3, orientations=4, input_size=(64, 64))
@@ -29,6 +29,21 @@ class TestMicroMotion:
             frames, height=3, nbands=4, phase_size=48)
         assert got.shape == want.shape == (4, 12, 48, 48)
         np.testing.assert_allclose(got, want, atol=1e-3, rtol=0)
+
+    def test_matches_torch_fft_oracle(self):
+        """Second oracle (torch.fft float64 + torch's own F.interpolate
+        resize) — SURVEY.md §4 item 1 demands both NumPy and torch-CPU
+        oracles for the full phase path."""
+        frames = _clip(seed=3)
+        got = np.asarray(phase.micro_motion_features(
+            jnp.asarray(frames[None]), PYR, PH))[0]
+        want = pyramid_torch.phase_diff_stack(
+            frames, height=3, nbands=4, phase_size=48)
+        np.testing.assert_allclose(got, want, atol=1e-3, rtol=0)
+        want_np = pyramid_np.phase_diff_stack(
+            frames, height=3, nbands=4, phase_size=48)
+        # the two float64 oracles must agree far below the fp32 budget
+        np.testing.assert_allclose(want, want_np, atol=1e-9, rtol=0)
 
     def test_identical_frames_zero_phase(self):
         f = _clip(t=1)[0]

@@ -7,7 +7,7 @@ import pytest
 from mimamo_tpu.config import PyramidSpec
 from mimamo_tpu import pyramid
 
-from oracles import pyramid_np
+from oracles import pyramid_np, pyramid_torch
 
 
 SPEC = PyramidSpec(height=3, orientations=4, input_size=(64, 64))
@@ -33,6 +33,35 @@ class TestAgainstOracle:
             assert g.shape == w.shape
             scale = np.abs(w).max()
             np.testing.assert_allclose(g, w, atol=1e-4 * scale, rtol=0)
+
+    @pytest.mark.parametrize("height,orientations,size",
+                             [(3, 4, 64), (2, 6, 32), (2, 2, 48)])
+    def test_two_oracles_and_jax_path_agree(self, height, orientations,
+                                            size):
+        """SURVEY.md §4 item 1: NumPy and torch-CPU (torch.fft) oracles
+        must agree to float64 precision with each other, and the JAX
+        path within the 1e-3 fp32 budget with both — pinning the
+        legacy-torch.rfft convention question (see pyramid_torch
+        docstring: onesided=False == full fft2, numpy normalization)."""
+        im = _rand_frames((2, size, size), seed=7)
+        spec = PyramidSpec(height=height, orientations=orientations,
+                           input_size=(size, size))
+        got = pyramid.build(jnp.asarray(im), spec)
+        w_np = pyramid_np.build(im, height=height, nbands=orientations)
+        w_th = pyramid_torch.build(im, height=height, nbands=orientations)
+        for part in ("high", "low"):
+            scale = np.abs(w_np[part]).max()
+            np.testing.assert_allclose(w_th[part], w_np[part],
+                                       atol=1e-10 * scale, rtol=0)
+            np.testing.assert_allclose(np.asarray(got[part]), w_np[part],
+                                       atol=1e-3 * scale, rtol=0)
+        for s in range(height):
+            scale = np.abs(w_np["bands"][s]).max()
+            np.testing.assert_allclose(w_th["bands"][s], w_np["bands"][s],
+                                       atol=1e-10 * scale, rtol=0)
+            np.testing.assert_allclose(
+                np.asarray(got["bands"][s]), w_np["bands"][s],
+                atol=1e-3 * scale, rtol=0)
 
     @pytest.mark.parametrize("orientations", [2, 4, 6])
     def test_orientation_counts(self, orientations):
