@@ -56,9 +56,12 @@ def main():
     variables = jax.jit(model.init_variables)(jax.random.PRNGKey(0))
     vlog("init done")
 
+    # uint8 feed: production crops arrive as uint8, and shipping them
+    # that way is 4x less host->device traffic; the cast to f32 happens
+    # inside the jitted program (runner.forward).
     b, t, s = args.batch, args.clip_len, cfg.clip.crop_size
     clips = jax.device_put(jnp.asarray(np.random.default_rng(0).uniform(
-        0, 255, (b, t, s, s, 3)).astype(np.float32)))
+        0, 255, (b, t, s, s, 3)).astype(np.uint8)))
 
     # Axon-tunnel-safe timing harness (all verified empirically on this
     # environment): (a) the tunnel caches executions with identical
@@ -69,7 +72,8 @@ def main():
     # so each iteration synchronously fetches the tiny [B, T, 2] output.
     @jax.jit
     def step(variables, clips, salt):
-        out, _ = model.forward(variables, clips + salt)
+        out, _ = model.forward(variables,
+                               clips.astype(jnp.float32) + salt)
         return out
 
     for i in range(args.warmup):

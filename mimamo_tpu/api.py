@@ -52,8 +52,7 @@ class VideoProcessor:
         frames, boxes = decode.load_video_with_boxes(
             video_path, boxes_path=boxes_path, max_frames=max_frames)
         crops = np.asarray(self.model._crop_video(
-            None, jnp.asarray(frames.astype(np.float32)),
-            jnp.asarray(boxes)))
+            None, jnp.asarray(frames), jnp.asarray(boxes)))
         os.makedirs(out_dir, exist_ok=True)
         name = os.path.splitext(os.path.basename(video_path))[0]
         out = os.path.join(out_dir, name + ".npy")
@@ -120,11 +119,21 @@ class MimamoAPI:
     def predict(self, video_path: str, out_csv: Optional[str] = None,
                 boxes_path: Optional[str] = None,
                 max_frames: Optional[int] = None,
-                align: bool = False) -> np.ndarray:
+                align: bool = False,
+                landmarks_path: Optional[str] = None) -> np.ndarray:
+        """``align=True`` similarity-aligns crops from eye landmarks
+        (the OpenFace role). Landmark priority: explicit
+        ``landmarks_path`` -> ``<video>.landmarks.npy`` sidecar (from a
+        stronger external tracker) -> built-in Haar eye tracker."""
         frames, boxes = decode.load_video_with_boxes(
             video_path, boxes_path=boxes_path, max_frames=max_frames)
-        landmarks = (decode.eye_landmarks(frames.astype(np.uint8), boxes)
-                     if align else None)
+        landmarks = None
+        if align or landmarks_path:
+            landmarks = decode.load_landmarks(
+                video_path, frames.shape[0], landmarks_path)
+            if landmarks is None:
+                landmarks = decode.eye_landmarks(
+                    frames.astype(np.uint8), boxes)
         series = self.model.predict_video(self.variables, frames, boxes,
                                           landmarks=landmarks)
         if out_csv:

@@ -37,42 +37,54 @@ class Bottleneck(nn.Module):
     stride: int
     stride_in_1x1: bool
     dtype: Any
+    fused_bn: bool = False   # inference-only: BN folded into conv weights
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         s1 = self.stride if self.stride_in_1x1 else 1
         s3 = 1 if self.stride_in_1x1 else self.stride
         out_width = self.width * 4
+        bias = self.fused_bn
 
         def bn(name):
+            if self.fused_bn:
+                return lambda y: y
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, dtype=self.dtype, name=name)
 
         residual = x
         if x.shape[-1] != out_width or self.stride != 1:
             residual = nn.Conv(out_width, (1, 1), strides=(self.stride,) * 2,
-                               use_bias=False, dtype=self.dtype,
+                               use_bias=bias, dtype=self.dtype,
                                name="downsample_conv")(x)
             residual = bn("downsample_bn")(residual)
 
-        y = nn.Conv(self.width, (1, 1), strides=(s1,) * 2, use_bias=False,
+        y = nn.Conv(self.width, (1, 1), strides=(s1,) * 2, use_bias=bias,
                     dtype=self.dtype, name="conv1")(x)
         y = nn.relu(bn("bn1")(y))
         y = nn.Conv(self.width, (3, 3), strides=(s3,) * 2,
-                    padding=((1, 1), (1, 1)), use_bias=False,
+                    padding=((1, 1), (1, 1)), use_bias=bias,
                     dtype=self.dtype, name="conv2")(y)
         y = nn.relu(bn("bn2")(y))
-        y = nn.Conv(out_width, (1, 1), use_bias=False, dtype=self.dtype,
+        y = nn.Conv(out_width, (1, 1), use_bias=bias, dtype=self.dtype,
                     name="conv3")(y)
         y = bn("bn3")(y)
         return nn.relu(y + residual)
 
 
 class ResNet50(nn.Module):
-    """ResNet-50 emitting (pool5 2048-d embedding, FER+ logits)."""
+    """ResNet-50 emitting (pool5 2048-d embedding, FER+ logits).
+
+    ``fused_bn=True`` builds the inference-only variant whose parameters
+    come from :func:`fold_batchnorm`: every BatchNorm is pre-multiplied
+    into the preceding conv's kernel + bias, removing ~53 elementwise
+    scale/shift passes over activations per forward (HBM-bandwidth win
+    on TPU; VERDICT round 1 "backbone MFU" item).
+    """
 
     spec: BackboneSpec
     stride_in_1x1: bool = True
+    fused_bn: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False
@@ -81,12 +93,15 @@ class ResNet50(nn.Module):
 
         Returns (embeddings [N, 2048], logits [N, num_classes]).
         """
+        if self.fused_bn and train:
+            raise ValueError("fused_bn is an inference-only variant")
         dtype = jnp.bfloat16 if self.spec.dtype == "bfloat16" else jnp.float32
         x = images.astype(dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, dtype=dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=dtype, name="bn1")(x)
+                    use_bias=self.fused_bn, dtype=dtype, name="conv1")(x)
+        if not self.fused_bn:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2),
                         padding=((1, 1), (1, 1)))
@@ -95,11 +110,47 @@ class ResNet50(nn.Module):
             for block in range(blocks):
                 stride = 2 if (stage > 0 and block == 0) else 1
                 x = Bottleneck(width, stride, self.stride_in_1x1, dtype,
+                               fused_bn=self.fused_bn,
                                name=f"layer{stage + 1}_{block}")(
                                    x, train=train)
         emb = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)  # pool5_7x7_s1
         logits = nn.Dense(self.spec.num_classes, name="fc")(emb)
         return emb, logits
+
+
+def fold_batchnorm(variables: Dict[str, Any],
+                   eps: float = 1e-5) -> Dict[str, Any]:
+    """Fold inference-mode BN into conv kernels/biases.
+
+    ``y = gamma * (conv(x) - mean) / sqrt(var + eps) + beta`` becomes
+    ``conv'(x) + bias'`` with ``kernel' = kernel * gamma/sqrt(var+eps)``
+    (broadcast over the HWIO output axis) and
+    ``bias' = beta - mean * gamma/sqrt(var+eps)``.
+
+    Pure ``jnp`` — safe to call inside a jitted program on traced
+    variables (the fold is ~100 MFLOP against the ~3 TFLOP forward).
+    Returns variables for ``ResNet50(spec, fused_bn=True)``.
+    """
+    params, stats = variables["params"], variables["batch_stats"]
+
+    def fold(p_node, s_node, conv, bn):
+        s = p_node[bn]["scale"] / jnp.sqrt(s_node[bn]["var"] + eps)
+        return {"kernel": p_node[conv]["kernel"] * s,
+                "bias": p_node[bn]["bias"] - s_node[bn]["mean"] * s}
+
+    out: Dict[str, Any] = {"conv1": fold(params, stats, "conv1", "bn1"),
+                           "fc": params["fc"]}
+    for name, node in params.items():
+        if not name.startswith("layer"):
+            continue
+        sn = stats[name]
+        new = {f"conv{i}": fold(node, sn, f"conv{i}", f"bn{i}")
+               for i in (1, 2, 3)}
+        if "downsample_conv" in node:
+            new["downsample_conv"] = fold(node, sn, "downsample_conv",
+                                          "downsample_bn")
+        out[name] = new
+    return {"params": out}
 
 
 def preprocess_images(images_0_255: jnp.ndarray,

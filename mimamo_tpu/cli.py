@@ -70,7 +70,8 @@ def cmd_predict(args) -> int:
     api = MimamoAPI(config=_config(args), checkpoint_dir=args.ckpt)
     series = api.predict(args.video, out_csv=args.out,
                          boxes_path=args.boxes,
-                         max_frames=args.max_frames, align=args.align)
+                         max_frames=args.max_frames, align=args.align,
+                         landmarks_path=args.landmarks)
     print(json.dumps({"frames": len(series),
                       "valence_mean": float(series[:, 0].mean()),
                       "arousal_mean": float(series[:, 1].mean()),
@@ -290,7 +291,13 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--align", action="store_true",
                    help="similarity-align crops from eye landmarks "
-                        "(OpenFace-style) instead of box crops")
+                        "(OpenFace-style) instead of box crops; uses "
+                        "<video>.landmarks.npy when present, else the "
+                        "built-in Haar eye tracker")
+    p.add_argument("--landmarks", default=None,
+                   help="precomputed eye-landmark .npy ([T, 2, 2] "
+                        "(left_y,left_x),(right_y,right_x) source "
+                        "pixels); implies --align")
     _add_common(p)
     p.set_defaults(fn=cmd_predict)
 

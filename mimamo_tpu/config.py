@@ -69,6 +69,10 @@ class BackboneSpec:
     mean_rgb: Tuple[float, float, float] = (131.0912, 103.8827, 91.4953)
     channel_order: str = "rgb"  # "rgb" | "bgr"; set from checkpoint metadata
     dtype: str = "float32"      # compute dtype: "float32" | "bfloat16"
+    # Fold inference-mode BN into conv kernels/biases on the inference
+    # path (backbone.fold_batchnorm): removes ~53 elementwise passes over
+    # activations per forward. Training (train=True) always uses real BN.
+    fold_bn_inference: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -137,9 +141,11 @@ class MimamoConfig:
     # Use the Pallas fused phase-diff kernel (pallas/phase_kernel.py) on
     # TPU. Default False: measured on v5e 2026-08-16, XLA's own fusion of
     # the same chain remains fastest at flagship shapes (phase path:
-    # XLA 10.5k f/s vs blocked-Pallas 10.0k vs per-pair-Pallas 8.8k) —
-    # both kernels are kept, tested, and parity-checked (<5e-7) for
-    # shapes where a hand-fused pipeline wins.
+    # XLA 10.5k f/s vs blocked-Pallas 10.0k; a per-pair variant measured
+    # 8.8k and was removed — negative result in BASELINE.md). The blocked
+    # kernel is kept, parity-tested (<5e-7), implements the
+    # amplitude_weighting knob in-kernel, and wins at smaller
+    # (band-count-poor) shapes where XLA leaves the VPU idle.
     use_pallas: bool = False
 
     @property

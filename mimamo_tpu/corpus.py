@@ -28,7 +28,17 @@ from . import parallel
 class CorpusRunner:
     def __init__(self, model: Mimamo, variables, out_dir: str,
                  batch_clips: int = 8, mesh=None,
-                 loader_threads: int = 4, use_native: bool = True):
+                 loader_threads: int = 4, use_native: bool = True,
+                 process_id: Optional[int] = None,
+                 process_count: Optional[int] = None):
+        """``process_id``/``process_count`` shard the corpus across host
+        processes (multi-host pod slice after
+        ``parallel.initialize_distributed``): each process works a
+        disjoint round-robin slice of the video list and appends to its
+        own manifest file, so a shared out_dir never sees interleaved
+        writes. Defaults: jax.process_index()/process_count() (0/1 on a
+        single host — identical behavior to round 1)."""
+        import jax
         self.model = model
         self.variables = variables
         self.out_dir = out_dir
@@ -36,15 +46,26 @@ class CorpusRunner:
         self.mesh = mesh
         self.loader_threads = loader_threads
         self.use_native = use_native
+        self.process_id = (jax.process_index() if process_id is None
+                           else process_id)
+        self.process_count = (jax.process_count() if process_count is None
+                              else process_count)
         os.makedirs(out_dir, exist_ok=True)
-        self.manifest_path = os.path.join(out_dir, "manifest.jsonl")
+        suffix = ("" if self.process_count == 1
+                  else f".p{self.process_id}")
+        self.manifest_path = os.path.join(out_dir,
+                                          f"manifest{suffix}.jsonl")
 
     # -- resume bookkeeping --------------------------------------------------
 
     def _completed(self) -> Dict[str, dict]:
+        """Rows from ALL processes' manifests (resume must not redo a
+        video another process already finished)."""
+        import glob
         done = {}
-        if os.path.exists(self.manifest_path):
-            with open(self.manifest_path) as f:
+        for path in sorted(glob.glob(
+                os.path.join(self.out_dir, "manifest*.jsonl"))):
+            with open(path) as f:
                 for line in f:
                     if line.strip():
                         row = json.loads(line)
@@ -60,6 +81,10 @@ class CorpusRunner:
     # -- main loop -----------------------------------------------------------
 
     def run(self, video_paths: Sequence[str]) -> dict:
+        if self.process_count > 1:
+            from . import parallel
+            video_paths = parallel.shard_paths(
+                video_paths, self.process_id, self.process_count)
         done = self._completed()
         todo = [p for p in video_paths if p not in done]
         skipped = len(video_paths) - len(todo)
@@ -92,7 +117,10 @@ class CorpusRunner:
         def flush():
             if not pend_clips:
                 return
-            batch = np.stack(pend_clips).astype(np.float32)
+            # Ship clips in the loader's dtype (uint8): the on-device
+            # cast in runner.forward makes outputs identical while the
+            # host->device transfer shrinks 4x.
+            batch = np.stack(pend_clips)
             pad = self.batch_clips - len(pend_clips)
             if pad:
                 batch = np.pad(batch,

@@ -203,6 +203,35 @@ def eye_landmarks(frames_rgb: np.ndarray, boxes: np.ndarray,
     return out
 
 
+def load_landmarks(video_path: str, t: int,
+                   landmarks_path: Optional[str] = None
+                   ) -> Optional[np.ndarray]:
+    """Precomputed eye landmarks for a video, if available.
+
+    File contract (documented for external trackers — SURVEY.md §7 hard
+    part 4): ``<video>.landmarks.npy`` holding float [T, 2, 2] =
+    per-frame ((left_y, left_x), (right_y, right_x)) in source pixels.
+    An explicit ``landmarks_path`` must exist; without one, the default
+    sidecar path is probed and None returned when absent (callers then
+    fall back to the built-in Haar eye tracker).
+    """
+    if landmarks_path is None:
+        candidate = video_path + ".landmarks.npy"
+        if not os.path.exists(candidate):
+            return None
+        landmarks_path = candidate
+    elif not os.path.exists(landmarks_path):
+        raise FileNotFoundError(
+            f"landmarks file not found: {landmarks_path}")
+    lm = np.load(landmarks_path).astype(np.float32)
+    if lm.shape != (t, 2, 2):
+        raise ValueError(
+            f"{landmarks_path}: expected shape {(t, 2, 2)} "
+            f"((left_y,left_x),(right_y,right_x)) per frame, got "
+            f"{lm.shape}")
+    return lm
+
+
 def load_video_with_boxes(path: str,
                           boxes_path: Optional[str] = None,
                           max_frames: Optional[int] = None

@@ -23,14 +23,16 @@ _LIB_PATHS = (
 )
 
 
-def _cascade_xml() -> str:
+def _cascade_xml(name: str = "haarcascade_frontalface_default.xml") -> str:
     try:
         import cv2
-        path = os.path.join(cv2.data.haarcascades,
-                            "haarcascade_frontalface_default.xml")
+        path = os.path.join(cv2.data.haarcascades, name)
         return path if os.path.exists(path) else ""
     except ImportError:
         return ""
+
+
+_ABI_VERSION = 2
 
 
 def _load_lib() -> Optional[ctypes.CDLL]:
@@ -38,6 +40,15 @@ def _load_lib() -> Optional[ctypes.CDLL]:
         try:
             lib = ctypes.CDLL(os.path.abspath(p) if os.path.sep in p else p)
         except OSError:
+            continue
+        # A stale .so (built from older sources) must never be called
+        # with the current signatures: check the ABI stamp, fall back to
+        # the pure-Python path otherwise.
+        try:
+            lib.ml_abi_version.restype = ctypes.c_int
+            if lib.ml_abi_version() != _ABI_VERSION:
+                continue
+        except AttributeError:
             continue
         lib.ml_corpus_open.restype = ctypes.c_void_p
         lib.ml_corpus_open.argtypes = [
@@ -54,8 +65,10 @@ def _load_lib() -> Optional[ctypes.CDLL]:
         lib.ml_corpus_close.argtypes = [ctypes.c_void_p]
         lib.ml_decode_video.restype = ctypes.c_int
         lib.ml_decode_video.argtypes = [
-            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float)]
         return lib
     return None
@@ -128,18 +141,30 @@ class NativeCorpusLoader:
 
 def decode_video_native(path: str, crop: int, max_frames: int = 100000,
                         detect_every: int = 8
-                        ) -> Tuple[np.ndarray, np.ndarray]:
-    """Single video -> ([T, crop, crop, 3] uint8 crops, [T, 4] boxes)."""
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Single video -> ([T, crop, crop, 3] uint8 crops, [T, 4] boxes,
+    [T, 2, 2] eye landmarks).
+
+    Landmarks are ((left_y, left_x), (right_y, right_x)) in source
+    pixels — the same contract as precomputed ``<video>.landmarks.npy``
+    files and ``decode.eye_landmarks``, so the native tracker and any
+    stronger external tracker feed the identical alignment path
+    (preprocess.similarity_from_eyes).
+    """
     if _LIB is None:
         raise RuntimeError("native loader not built; run `make -C native`")
     out = np.empty((max_frames, crop, crop, 3), np.uint8)
     boxes = np.empty((max_frames, 4), np.float32)
+    eyes = np.empty((max_frames, 4), np.float32)
     n = _LIB.ml_decode_video(
-        path.encode(), crop, _cascade_xml().encode(), detect_every,
+        path.encode(), crop, _cascade_xml().encode(),
+        _cascade_xml("haarcascade_eye.xml").encode(), detect_every,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), max_frames,
-        boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        eyes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     if n < 0:
         raise FileNotFoundError(f"cannot open video: {path}")
     if n == 0:
         raise ValueError(f"no frames decoded from {path}")
-    return out[:n].copy(), boxes[:n].copy()
+    return (out[:n].copy(), boxes[:n].copy(),
+            eyes[:n].reshape(n, 2, 2).copy())

@@ -2,14 +2,15 @@
 
 The post-FFT chain of the micro-motion path is
 ``angle(c_t * conj(c_{t-1}))`` followed by a bilinear resize to
-``phase_size``. In the XLA path (phase.py) the full-resolution wrapped
-phase tensor ([B, T-1, K, h_s, w_s] float32 — ~600 MB for the flagship
-batch at scale 0) round-trips through HBM between the elementwise atan2
-and the resize matmuls, because XLA does not fuse producers into dot
-operands. This kernel keeps the whole chain in VMEM: one grid step loads
-a band-pair tile, forms the complex product, takes atan2 on the VPU, and
-immediately contracts with the two small interpolation matrices on the
-MXU, writing only the [P, P] result.
+``phase_size`` (optionally amplitude-weighted). In the XLA path
+(phase.py) the full-resolution wrapped phase tensor ([B, T-1, K, h_s,
+w_s] float32 — ~600 MB for the flagship batch at scale 0) round-trips
+through HBM between the elementwise atan2 and the resize matmuls,
+because XLA does not fuse producers into dot operands. This kernel keeps
+the whole chain in VMEM: one grid step loads a block of G band-pairs,
+forms the complex products, takes atan2 (and the optional amplitude
+weighting) on the VPU, and immediately contracts with the two small
+interpolation matrices on the MXU, writing only the [G, P, P] result.
 
 FFTs stay in XLA — Pallas has no FFT primitive (SURVEY.md §7 hard part
 2); the kernel boundary is exactly "everything after the iFFT".
@@ -60,99 +61,54 @@ def _atan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(y < 0, -a, a)                     # sign of y
 
 
-def _kernel(ct_re, ct_im, cp_re, cp_im, rh, rw, out):
-    a_re = ct_re[0].astype(jnp.float32)
-    a_im = ct_im[0].astype(jnp.float32)
-    b_re = cp_re[0].astype(jnp.float32)
-    b_im = cp_im[0].astype(jnp.float32)
-    # c_t * conj(c_prev): product form keeps the wrap branch-free (A.2).
-    prod_re = a_re * b_re + a_im * b_im
-    prod_im = a_im * b_re - a_re * b_im
-    dphi = _atan2(prod_im, prod_re)
-    # HIGHEST precision: plain f32 dots round through bf16 on the MXU,
-    # blowing the 1e-3 phase parity budget (see phase.resize_bilinear).
-    tmp = jnp.dot(rh[:], dphi, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)
-    out[0] = jnp.dot(tmp, rw[:], preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-
-
-@functools.partial(jax.jit, static_argnames=("phase_size", "interpret"))
-def phase_diff_resize(c_t: jnp.ndarray, c_prev: jnp.ndarray,
-                      phase_size: int = 48,
-                      interpret: bool = False) -> jnp.ndarray:
-    """Fused ``resize(angle(c_t * conj(c_prev)))`` for one pyramid scale.
-
-    Args:
-      c_t, c_prev: [..., h, w] complex band coefficients (same shape).
-      phase_size: output resolution P.
-      interpret: run in the Pallas interpreter (CPU testing).
-
-    Returns:
-      [..., P, P] float32 resized wrapped phase differences.
-    """
-    if c_t.shape != c_prev.shape:
-        raise ValueError(f"shape mismatch {c_t.shape} vs {c_prev.shape}")
-    lead = c_t.shape[:-2]
-    h, w = c_t.shape[-2:]
-    p = phase_size
-    n = int(np.prod(lead)) if lead else 1
-
-    ct = c_t.reshape(n, h, w)
-    cp = c_prev.reshape(n, h, w)
-    rh = jnp.asarray(_resize_matrix(h, p))          # [P, h]
-    rw = jnp.asarray(_resize_matrix(w, p)).T        # [w, P]
-
-    band_spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM)
-
-    out = pl.pallas_call(
-        _kernel,
-        grid=(n,),
-        in_specs=[band_spec, band_spec, band_spec, band_spec,
-                  pl.BlockSpec((p, h), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((w, p), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, p, p), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, p, p), jnp.float32),
-        interpret=interpret,
-    )(ct.real, ct.imag, cp.real, cp.imag, rh, rw)
-    return out.reshape(lead + (p, p))
-
-
-def _blocked_kernel(ct_re, ct_im, cp_re, cp_im, rw, rh_t, out):
+def _make_blocked_kernel(weighting: bool):
     """G band-pairs per program: one fused VPU pass + two large MXU dots.
 
-    The per-pair variant (_kernel) loses to XLA's own fusion because its
-    48xH @ HxW @ Wx48 dots are tiny; blocking G pairs turns them into
-    (G*H, W) @ (W, P) and (G*P, H) @ (H, P) — MXU-sized.
+    A per-pair variant (one band per grid step) was measured slower than
+    XLA's own fusion — its 48xH @ HxW @ Wx48 dots are tiny — and was
+    removed (negative result recorded in BASELINE.md); blocking G pairs
+    turns them into (G*H, W) @ (W, P) and (G*P, H) @ (H, P) — MXU-sized.
+
+    ``weighting=True`` fuses the amplitude weighting knob (SURVEY.md
+    Appendix A.2 / App. B item 4): dphi is scaled by
+    ``amp / (mean(amp) + 1e-6)`` with ``amp = |c_t|*|c_prev| = |prod|``,
+    computed in-kernel while the product is still in VMEM.
     """
-    g, h, w = ct_re.shape
-    a_re = ct_re[...].astype(jnp.float32)
-    a_im = ct_im[...].astype(jnp.float32)
-    b_re = cp_re[...].astype(jnp.float32)
-    b_im = cp_im[...].astype(jnp.float32)
-    prod_re = a_re * b_re + a_im * b_im
-    prod_im = a_im * b_re - a_re * b_im
-    dphi = _atan2(prod_im, prod_re)                       # [G, h, w]
-    p = rw.shape[1]
-    tmp = jnp.dot(dphi.reshape(g * h, w), rw[...],
-                  preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)    # [G*h, P]
-    t3 = jnp.swapaxes(tmp.reshape(g, h, p), 1, 2)         # [G, P, h]
-    o2 = jnp.dot(t3.reshape(g * p, h), rh_t[...],
-                 preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)     # [G*P, P]
-    out[...] = o2.reshape(g, p, p)                        # out[g, q, p]
+
+    def kernel(ct_re, ct_im, cp_re, cp_im, rw, rh_t, out):
+        g, h, w = ct_re.shape
+        a_re = ct_re[...].astype(jnp.float32)
+        a_im = ct_im[...].astype(jnp.float32)
+        b_re = cp_re[...].astype(jnp.float32)
+        b_im = cp_im[...].astype(jnp.float32)
+        prod_re = a_re * b_re + a_im * b_im
+        prod_im = a_im * b_re - a_re * b_im
+        dphi = _atan2(prod_im, prod_re)                   # [G, h, w]
+        if weighting:
+            amp = jnp.sqrt(prod_re * prod_re + prod_im * prod_im)
+            denom = jnp.mean(amp, axis=(1, 2), keepdims=True) + 1e-6
+            dphi = dphi * (amp / denom)
+        p = rw.shape[1]
+        tmp = jnp.dot(dphi.reshape(g * h, w), rw[...],
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)  # [G*h, P]
+        t3 = jnp.swapaxes(tmp.reshape(g, h, p), 1, 2)       # [G, P, h]
+        o2 = jnp.dot(t3.reshape(g * p, h), rh_t[...],
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)   # [G*P, P]
+        out[...] = o2.reshape(g, p, p)                      # out[g, q, p]
+
+    return kernel
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("phase_size", "block", "interpret"))
+                   static_argnames=("phase_size", "block", "interpret",
+                                    "amplitude_weighting"))
 def phase_diff_resize_blocked(c_t: jnp.ndarray, c_prev: jnp.ndarray,
                               phase_size: int = 48, block: int = 8,
-                              interpret: bool = False) -> jnp.ndarray:
+                              interpret: bool = False,
+                              amplitude_weighting: bool = False
+                              ) -> jnp.ndarray:
     """Blocked fused ``resize(angle(c_t * conj(c_prev)))`` (see above)."""
     if c_t.shape != c_prev.shape:
         raise ValueError(f"shape mismatch {c_t.shape} vs {c_prev.shape}")
@@ -176,7 +132,7 @@ def phase_diff_resize_blocked(c_t: jnp.ndarray, c_prev: jnp.ndarray,
     band_spec = pl.BlockSpec((g, h, w), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _blocked_kernel,
+        _make_blocked_kernel(amplitude_weighting),
         grid=((n + pad) // g,),
         in_specs=[band_spec, band_spec, band_spec, band_spec,
                   pl.BlockSpec((w, p), lambda i: (0, 0),
@@ -214,5 +170,6 @@ def micro_motion_features_fused(frames: jnp.ndarray, pyramid_spec,
             jnp.fft.ifftshift(xc * masks["bands"][s], axes=(-2, -1)))
         chans.append(phase_diff_resize_blocked(
             band[:, 1:], band[:, :-1], phase_size=p, block=block,
-            interpret=interpret))
+            interpret=interpret,
+            amplitude_weighting=phase_spec.amplitude_weighting))
     return jnp.concatenate(chans, axis=2)

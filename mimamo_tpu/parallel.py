@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -74,6 +75,54 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
                                num_processes=num_processes,
                                process_id=process_id)
     return len(jax.devices())
+
+
+def shard_paths(paths: Sequence[str], process_id: Optional[int] = None,
+                process_count: Optional[int] = None) -> list:
+    """Disjoint round-robin split of a work list across host processes.
+
+    The per-host input pipeline for corpus runs (SURVEY.md §7 step 7):
+    after :func:`initialize_distributed`, each process calls this with
+    the *same* global list and gets its own disjoint slice. Defaults to
+    ``jax.process_index()/process_count()`` (0/1 on single host).
+    """
+    pid = jax.process_index() if process_id is None else process_id
+    n = jax.process_count() if process_count is None else process_count
+    if not 0 <= pid < n:
+        raise ValueError(f"process_id {pid} out of range for {n}")
+    return list(paths[pid::n])
+
+
+def sharded_ccc(preds: Any, golds: Any, mesh: Mesh,
+                axis: str = DATA_AXIS, eps: float = 1e-8):
+    """CCC over a batch-sharded (pred, gold) pair without a host gather.
+
+    Both inputs are [B, D] with B sharded over ``mesh``; per-shard moment
+    sums are psum'ed over the data axis (the eval-metric collective the
+    reference never needed — single GPU — but a pod-slice eval does).
+    Returns a replicated [D] CCC using biased (1/N) moments, matching
+    ``data.eval.ccc_np``.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    b = preds.shape[0]
+
+    def local(p, y):
+        n = jnp.float32(b)
+        sp = jax.lax.psum(jnp.sum(p, 0), axis)
+        sy = jax.lax.psum(jnp.sum(y, 0), axis)
+        spp = jax.lax.psum(jnp.sum(p * p, 0), axis)
+        syy = jax.lax.psum(jnp.sum(y * y, 0), axis)
+        spy = jax.lax.psum(jnp.sum(p * y, 0), axis)
+        mp, my = sp / n, sy / n
+        vp = spp / n - mp * mp
+        vy = syy / n - my * my
+        cov = spy / n - mp * my
+        return 2.0 * cov / (vp + vy + (mp - my) ** 2 + eps)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis)),
+                   out_specs=P())
+    return jax.jit(fn)(preds, golds)
 
 
 def pad_to_multiple(batch: Any, multiple: int) -> Any:

@@ -50,6 +50,9 @@ class Mimamo:
     def __init__(self, config: Optional[MimamoConfig] = None):
         self.config = config or MimamoConfig()
         self.backbone = ResNet50(self.config.backbone)
+        # Inference-only twin with BN pre-folded into conv weights
+        # (backbone.fold_batchnorm); same math, fewer HBM passes.
+        self.backbone_fused = ResNet50(self.config.backbone, fused_bn=True)
         self.temporal = TwoStreamRNN(self.config.temporal)
 
     # -- initialization ----------------------------------------------------
@@ -80,7 +83,12 @@ class Mimamo:
         imgs = preprocess.for_backbone(
             crops_rgb.reshape((b * t,) + crops_rgb.shape[2:]),
             self.config.backbone)
-        emb, _ = self.backbone.apply(variables["backbone"], imgs)
+        if self.config.backbone.fold_bn_inference:
+            from .backbone import fold_batchnorm
+            emb, _ = self.backbone_fused.apply(
+                fold_batchnorm(variables["backbone"]), imgs)
+        else:
+            emb, _ = self.backbone.apply(variables["backbone"], imgs)
         return emb.reshape(b, t, -1)
 
     def forward(self, variables: Variables, crops_rgb: jnp.ndarray,
@@ -91,8 +99,12 @@ class Mimamo:
         """Full forward on aligned crops.
 
         Args:
-          crops_rgb: [B, T, S, S, 3] float (0..255) aligned face crops,
-            S = config.clip.crop_size.
+          crops_rgb: [B, T, S, S, 3] aligned face crops in 0..255,
+            S = config.clip.crop_size. uint8 is the preferred feed dtype
+            (4x less host->device transfer than float32 — the dominant
+            cost on the serving path); the cast to float32 happens here,
+            where the on-device math starts, so outputs are bit-identical
+            for integral inputs.
           carries: GRU carries from the previous chunk (streaming mode).
           include_first_pair: in streaming mode the caller prepends the
             previous chunk's last frame so every frame here has a
@@ -103,6 +115,7 @@ class Mimamo:
           ([B, T, 2] per-frame (valence, arousal), new carries).
         """
         cfg = self.config
+        crops_rgb = crops_rgb.astype(jnp.float32)
         gray = preprocess.to_grayscale(crops_rgb)
         phase_stacks = self._micro_motion(gray)
         emb = self.embed_frames(variables, crops_rgb)
@@ -115,12 +128,11 @@ class Mimamo:
     def _micro_motion(self, gray: jnp.ndarray) -> jnp.ndarray:
         """Micro-motion features, fused Pallas kernel when applicable.
 
-        Trace-time dispatch: the fused path needs a real TPU (Mosaic) and
-        does not implement amplitude weighting.
+        Trace-time dispatch: the fused path needs a real TPU (Mosaic).
+        Amplitude weighting is fused in-kernel (no silent fallback).
         """
         cfg = self.config
-        if (cfg.use_pallas and not cfg.phase.amplitude_weighting
-                and _on_tpu()):
+        if cfg.use_pallas and _on_tpu():
             from .pallas.phase_kernel import micro_motion_features_fused
             return micro_motion_features_fused(gray, cfg.pyramid,
                                                cfg.phase)
@@ -201,12 +213,14 @@ class Mimamo:
         # Chunk the crop stage: a full decoded video at source resolution
         # does not fit HBM (a 60 s 1080p clip is ~37 GB as f32). Fixed
         # chunk size (padded tail) -> one compiled program per source
-        # resolution.
+        # resolution. Frames ship in their host dtype (uint8 from the
+        # decoder: 4x less tunnel/PCIe traffic than f32) and the crops
+        # stay on device — no host round-trip between crop and windows.
         chunk = 64
         t = frames_rgb.shape[0]
         pieces = []
         for s in range(0, t, chunk):
-            f = np.asarray(frames_rgb[s:s + chunk], np.float32)
+            f = np.asarray(frames_rgb[s:s + chunk])
             p = np.asarray(params[s:s + chunk])
             n = f.shape[0]
             if n < chunk:
@@ -215,8 +229,8 @@ class Mimamo:
                 p = np.concatenate(
                     [p, np.repeat(p[-1:], chunk - n, axis=0)])
             out = crop_fn(variables, jnp.asarray(f), jnp.asarray(p))
-            pieces.append(np.asarray(out[:n]))
-        crops = jnp.asarray(np.concatenate(pieces, axis=0))
+            pieces.append(out[:n])
+        crops = jnp.concatenate(pieces, axis=0)
         windows, starts = preprocess.sliding_windows(
             crops, cfg.clip_len, cfg.stride)
         preds = []

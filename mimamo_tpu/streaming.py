@@ -32,9 +32,13 @@ from .temporal import init_carries
 
 class StreamingSession:
     def __init__(self, model: Mimamo, variables: Variables,
-                 capacity: int = 8, chunk: int = 16):
+                 capacity: int = 8, chunk: int = 16, mesh=None):
+        """``mesh``: optional device mesh; the slot (stream) axis is
+        sharded over it — the batch-of-streams axis IS the scaling axis
+        for serving (SURVEY.md §5 "long-context" row), so a pod slice
+        serves ``capacity`` streams with params replicated and the GSPMD
+        partitioner keeping every carry/context shard device-resident."""
         self.model = model
-        self.variables = variables
         self.capacity = capacity
         self.chunk = chunk
         cfg = model.config
@@ -44,6 +48,26 @@ class StreamingSession:
         self._free = list(range(capacity))
         self._fresh = np.zeros(capacity, bool)
         self._slot_axis = 0 if cfg.temporal.gru_layers == 1 else 1
+        self.mesh = mesh
+        self._x_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from . import parallel
+            n = mesh.devices.size
+            if capacity % n:
+                raise ValueError(f"capacity {capacity} must be divisible "
+                                 f"by the mesh size {n}")
+            axis = mesh.axis_names[0]
+            slot = (P(axis) if self._slot_axis == 0
+                    else P(None, axis))
+            self._gru = jax.tree_util.tree_map(
+                lambda c: jax.device_put(c, NamedSharding(mesh, slot)),
+                self._gru)
+            self._x_sharding = NamedSharding(mesh, P(axis))
+            self._context = jax.device_put(self._context,
+                                           self._x_sharding)
+            variables = parallel.replicate(variables, mesh)
+        self.variables = variables
 
     # -- slot management -----------------------------------------------------
 
@@ -97,7 +121,8 @@ class StreamingSession:
                     f"slot {slot}: expected {(self.chunk, s, s, 3)}, "
                     f"got {f.shape}")
             batch[slot] = f
-        x = jnp.asarray(batch)
+        x = (jnp.asarray(batch) if self._x_sharding is None
+             else jax.device_put(batch, self._x_sharding))
 
         # Fresh streams: own first frame as pair context AND the model
         # zeroes their step-0 micro embedding (clip-mode equivalence).

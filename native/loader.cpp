@@ -14,6 +14,7 @@
 // C ABI (ctypes-friendly), see mimamo_tpu/io/native_loader.py for the
 // Python wrapper and graceful fallback.
 
+#include <algorithm>
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
@@ -111,6 +112,62 @@ struct FaceTracker {
       has_last = true;
     }
     return last;
+  }
+};
+
+// Eye-landmark tracker mirroring mimamo_tpu/io/decode.py eye_landmarks:
+// Haar eye detection inside the upper half of the face box, hold-last on
+// failure, canonical in-box positions as the fallback. Output layout per
+// frame: (left_y, left_x, right_y, right_x) in source pixels — the same
+// contract as the precomputed <video>.landmarks.npy files, so a stronger
+// external tracker can replace this stage without touching the pipeline.
+struct EyeTracker {
+  cv::CascadeClassifier cascade;
+  bool enabled = false;
+  int detect_every = 8;
+  float last[4];
+  bool has_last = false;
+
+  void reset() { has_last = false; }
+
+  void eyes_for(const cv::Mat& rgb, const cv::Rect2f& box, int frame_idx,
+                float* out) {
+    if (enabled && frame_idx % detect_every == 0) {
+      cv::Rect roi(static_cast<int>(box.x), static_cast<int>(box.y),
+                   static_cast<int>(box.width),
+                   static_cast<int>(box.height) / 2);
+      roi &= cv::Rect(0, 0, rgb.cols, rgb.rows);
+      if (roi.area() > 0) {
+        cv::Mat gray;
+        cv::cvtColor(rgb(roi), gray, cv::COLOR_RGB2GRAY);
+        std::vector<cv::Rect> found;
+        cascade.detectMultiScale(gray, found, 1.1, 3);
+        if (found.size() >= 2) {
+          std::sort(found.begin(), found.end(),
+                    [](const cv::Rect& a, const cv::Rect& b) {
+                      return a.area() > b.area();
+                    });
+          float y0 = found[0].y + found[0].height / 2.f + roi.y;
+          float x0 = found[0].x + found[0].width / 2.f + roi.x;
+          float y1 = found[1].y + found[1].height / 2.f + roi.y;
+          float x1 = found[1].x + found[1].width / 2.f + roi.x;
+          if (x0 > x1) {                    // order left-to-right by x
+            std::swap(x0, x1);
+            std::swap(y0, y1);
+          }
+          last[0] = y0; last[1] = x0; last[2] = y1; last[3] = x1;
+          has_last = true;
+        }
+      }
+    }
+    if (has_last) {
+      std::memcpy(out, last, sizeof(last));
+    } else {                                // canonical in-box positions
+      out[0] = box.y + 0.38f * box.height;
+      out[1] = box.x + 0.22f * box.width;
+      out[2] = box.y + 0.38f * box.height;
+      out[3] = box.x + 0.78f * box.width;
+    }
   }
 };
 
@@ -216,6 +273,11 @@ struct Corpus {
 
 extern "C" {
 
+// Bumped whenever an exported signature changes; the ctypes wrapper
+// refuses (and falls back to Python) on mismatch so a stale .so can
+// never be called with the wrong ABI.
+int ml_abi_version() { return 2; }
+
 void* ml_corpus_open(const char** paths, int n_videos, int clip_len,
                      int stride, int crop, int queue_cap, int n_threads,
                      const char* cascade_xml, int detect_every) {
@@ -264,15 +326,26 @@ void ml_corpus_close(void* handle) {
 
 // Single-video convenience: decode + track + crop the whole video into
 // caller-allocated [n_frames, crop, crop, 3]. Returns frames written.
+// out_eyes ([max_frames, 4] = per-frame (ly, lx, ry, rx), or null) emits
+// eye landmarks in source-pixel coordinates — the same layout as the
+// precomputed <video>.landmarks.npy contract, so the native tracker and
+// any external (stronger) tracker feed the identical alignment path.
 int ml_decode_video(const char* path, int crop, const char* cascade_xml,
-                    int detect_every, uint8_t* out, int max_frames,
-                    float* out_boxes /* [max_frames, 4] or null */) {
+                    const char* eye_cascade_xml, int detect_every,
+                    uint8_t* out, int max_frames,
+                    float* out_boxes /* [max_frames, 4] or null */,
+                    float* out_eyes /* [max_frames, 4] or null */) {
   cv::VideoCapture cap(path);
   if (!cap.isOpened()) return -1;
   FaceTracker tracker;
   if (cascade_xml && *cascade_xml && tracker.cascade.load(cascade_xml))
     tracker.enabled = true;
   tracker.detect_every = detect_every > 0 ? detect_every : 8;
+  EyeTracker eyes;
+  if (out_eyes && eye_cascade_xml && *eye_cascade_xml &&
+      eyes.cascade.load(eye_cascade_xml))
+    eyes.enabled = true;
+  eyes.detect_every = tracker.detect_every;
   cv::Mat bgr, rgb;
   int i = 0;
   const size_t frame_bytes = static_cast<size_t>(crop) * crop * 3;
@@ -286,6 +359,7 @@ int ml_decode_video(const char* path, int crop, const char* cascade_xml,
       out_boxes[4 * i + 2] = box.height;
       out_boxes[4 * i + 3] = box.width;
     }
+    if (out_eyes) eyes.eyes_for(rgb, box, i, out_eyes + 4 * i);
     ++i;
   }
   return i;

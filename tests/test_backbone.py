@@ -2,6 +2,7 @@
 (SURVEY.md §4 items 1 and 6)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 import torch
@@ -38,6 +39,32 @@ class TestTorchParity:
         np.testing.assert_allclose(np.asarray(got_logits),
                                    want_logits.numpy(), atol=2e-4,
                                    rtol=1e-3)
+
+
+class TestFoldBatchnorm:
+    def test_fused_matches_unfused(self):
+        """BN folded into conv weights == real inference-mode BN; also
+        transitively matches the torch mirror via TestTorchParity."""
+        _t, fmodel, variables = _build_pair(seed=3)
+        fused_model = backbone.ResNet50(BackboneSpec(), fused_bn=True)
+        fused_vars = backbone.fold_batchnorm(variables)
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(
+            np.float32))
+        want_emb, want_logits = fmodel.apply(variables, x)
+        got_emb, got_logits = fused_model.apply(fused_vars, x)
+        np.testing.assert_allclose(np.asarray(got_emb),
+                                   np.asarray(want_emb), atol=2e-4,
+                                   rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(got_logits),
+                                   np.asarray(want_logits), atol=2e-4,
+                                   rtol=1e-3)
+
+    def test_fused_rejects_train_mode(self):
+        fused = backbone.ResNet50(BackboneSpec(), fused_bn=True)
+        with pytest.raises(ValueError):
+            fused.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                       train=True)
 
 
 class TestImporter:

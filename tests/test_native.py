@@ -66,11 +66,19 @@ class TestNativeLoader:
     def test_decode_video_native_matches_python_decode(self, corpus_dir):
         root, lengths = corpus_dir
         path = str(root / "v0.mp4")
-        crops, boxes = native_loader.decode_video_native(path, crop=32)
+        crops, boxes, eyes = native_loader.decode_video_native(
+            path, crop=32)
         assert crops.shape == (lengths[0], 32, 32, 3)
         assert boxes.shape == (lengths[0], 4)
         # no face in noise -> centered square box covering min side
         np.testing.assert_allclose(boxes[0], [0.0, 8.0, 48.0, 48.0])
+        # no eyes in noise -> canonical in-box landmark fallback, the
+        # same formula as decode.eye_landmarks (shared file contract)
+        assert eyes.shape == (lengths[0], 2, 2)
+        y0, x0, bh, bw = boxes[0]
+        np.testing.assert_allclose(
+            eyes[0], [[y0 + 0.38 * bh, x0 + 0.22 * bw],
+                      [y0 + 0.38 * bh, x0 + 0.78 * bw]], rtol=1e-5)
 
 
 class TestCorpusRunner:

@@ -69,6 +69,29 @@ class TestEndToEnd:
         assert series.shape == (14, 2)
         assert np.all(np.isfinite(series))
 
+    def test_uint8_feed_bit_identical(self, model_and_vars):
+        """uint8 crops (the 4x-cheaper transfer dtype) must produce
+        bit-identical outputs to the same values fed as float32 — the
+        cast happens on device where the f32 math starts."""
+        model, variables = model_and_vars
+        rng = np.random.default_rng(9)
+        u8 = rng.integers(0, 256, (2, 6, 32, 32, 3), dtype=np.uint8)
+        out_u8 = np.asarray(
+            model.predict_clips(variables, jnp.asarray(u8)))
+        out_f32 = np.asarray(model.predict_clips(
+            variables, jnp.asarray(u8.astype(np.float32))))
+        np.testing.assert_array_equal(out_u8, out_f32)
+
+        frames = rng.integers(0, 256, (14, 48, 64, 3), dtype=np.uint8)
+        boxes = np.tile(
+            np.asarray([[8.0, 16.0, 32.0, 32.0]], np.float32), (14, 1))
+        s_u8 = model.predict_video(variables, frames, boxes,
+                                   batch_clips=2)
+        s_f32 = model.predict_video(variables,
+                                    frames.astype(np.float32), boxes,
+                                    batch_clips=2)
+        np.testing.assert_array_equal(s_u8, s_f32)
+
 
 class TestMotionSensitivity:
     """SURVEY.md §4 item 3: a moving Gabor patch through the WHOLE jitted
