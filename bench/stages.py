@@ -2,9 +2,12 @@
 
 The reference has no profiling story (SURVEY.md §5 "Tracing/profiling" —
 ``time.time()`` prints at best). This harness times each pipeline stage as
-its own jitted program with the axon-tunnel-safe protocol (salted args +
-per-iteration small host fetch; see bench.py) and prints one JSON line per
-stage plus the full pipeline, so regressions can be localized.
+its own jitted program with the axon-tunnel-safe protocol: salted args
+force real execution past the tunnel's result cache, and a depth-2
+dispatch pipeline (one execution in flight while fetching the previous)
+hides the ~22 ms tunnel round-trip that otherwise inflates every stage by
+a constant — so the numbers are comparable to bench.py's end-to-end
+figure. One JSON line per stage.
 
 Usage: python bench/stages.py [--batch 8] [--clip-len 48] [--iters 5]
        [--trace DIR]  (writes a jax.profiler trace for Perfetto)
@@ -24,7 +27,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--clip-len", type=int, default=48)
-    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--trace", default=None,
@@ -54,13 +57,22 @@ def main():
         np.asarray([[4.0, 4.0, 100.0, 100.0]], np.float32), (b * t, 1))))
     frames_big = jax.device_put(jnp.asarray(
         rng.uniform(0, 255, (b * t, 128, 128, 3)).astype(np.float32)))
+    bb = cfg.backbone.input_size
+    imgs224 = jax.device_put(jnp.asarray(
+        rng.uniform(-128, 128, (b * t, bb, bb, 3)).astype(np.float32)))
 
     def stage(name, fn, *inputs, frames_per_step):
+        # jnp.sum keeps the fetched payload tiny; the salt defeats the
+        # tunnel's identical-args execution cache.
         jitted = jax.jit(lambda salt, *xs: jnp.sum(fn(*xs, salt)))
         float(jitted(np.float32(999), *inputs))        # compile+warm
         t0 = time.perf_counter()
-        for j in range(args.iters):
-            float(jitted(np.float32(j), *inputs))
+        pending = jitted(np.float32(0), *inputs)
+        for j in range(1, args.iters):
+            nxt = jitted(np.float32(j), *inputs)
+            float(pending)
+            pending = nxt
+        float(pending)
         dt = (time.perf_counter() - t0) / args.iters
         print(json.dumps({
             "stage": name, "sec_per_step": round(dt, 5),
@@ -82,6 +94,20 @@ def main():
         "backbone",
         lambda c, salt: model.embed_frames(variables, c + salt),
         clips, frames_per_step=fpstep)
+    # Sub-stages of "backbone" (not added to the total): where does the
+    # appearance stream spend — the 112->224 upscale or the conv stack?
+    stage(
+        "backbone/upscale+meansub",
+        lambda c, salt: preprocess.for_backbone(
+            (c + salt).reshape((b * t,) + c.shape[2:]), cfg.backbone),
+        clips, frames_per_step=fpstep)
+    from mimamo_tpu.backbone import fold_batchnorm
+    fused_vars = jax.jit(fold_batchnorm)(variables["backbone"])
+    stage(
+        "backbone/conv_stack_224",
+        lambda x, salt: model.backbone_fused.apply(fused_vars,
+                                                   x + salt)[0],
+        imgs224, frames_per_step=fpstep)
 
     p = cfg.phase.phase_size
     phase_in = jax.device_put(jnp.asarray(rng.standard_normal(
@@ -109,8 +135,8 @@ def main():
         "full_pipeline",
         lambda c, salt: model.forward(variables, c + salt)[0],
         clips, frames_per_step=fpstep)
-    print(json.dumps({"stage": "dispatch+fetch_overhead",
-                      "sec_per_step": round(max(0.0, full - total), 5)}))
+    print(json.dumps({"stage": "unfused_overhead",
+                      "sec_per_step": round(full - total, 5)}))
 
 
 if __name__ == "__main__":

@@ -167,9 +167,25 @@ def cmd_train(args) -> int:
         import tensorflow as tf  # installed in this image; soft dep
         tb_writer = tf.summary.create_file_writer(args.tensorboard)
     best_ccc = -2.0
+    if mesh is not None:
+        # Replicate ONCE; the jitted step's output sharding matches its
+        # (replicated-params) input sharding, so re-placement per batch
+        # would only add device round-trips.
+        state = parallel.replicate(state, mesh)
     for epoch in range(args.epochs):
         t0 = time.time()
         n, agg = 0, {}
+        # Depth-2 metric pipeline: dispatching the next step before
+        # fetching the previous step's metrics hides the host<->device
+        # round-trip behind compute (the bench.py pattern; a deeper
+        # async queue wedges the TPU tunnel — see CLAUDE.md).
+        pending = []
+
+        def drain(limit):
+            while len(pending) > limit:
+                for k, v in pending.pop(0).items():
+                    agg[k] = agg.get(k, 0.0) + float(v)
+
         for batch in ds.batches(config.train.batch_size, shuffle=True,
                                 seed=config.train.seed + epoch,
                                 drop_remainder=True):
@@ -177,11 +193,11 @@ def cmd_train(args) -> int:
             if mesh is not None:
                 jb = parallel.shard_batch(
                     parallel.pad_to_multiple(jb, mesh.devices.size), mesh)
-                state = parallel.replicate(state, mesh)
             state, metrics = step_fn(state, jb)
+            pending.append(metrics)
             n += 1
-            for k, v in metrics.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
+            drain(limit=1)
+        drain(limit=0)
         row = {"epoch": epoch, "steps": n,
                "sec": round(time.time() - t0, 2),
                **{k: round(v / max(n, 1), 4) for k, v in agg.items()}}

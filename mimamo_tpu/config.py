@@ -32,6 +32,11 @@ class PyramidSpec:
     input_size: Tuple[int, int] = (112, 112)  # H, W of grayscale crops
     # Include the (-i)**(K-1) analytic-band constant (SCFpyr convention).
     complex_factor: bool = True
+    # "fft": jnp.fft (exact); "matmul": DFT as complex matmuls on the MXU
+    # with fftshift baked into the matrices (XLA's TPU FFT lowering is
+    # slow at these sizes); "auto": matmul on TPU, fft elsewhere.
+    # Parity between the modes is oracle-tested to ~1e-4.
+    fft_mode: str = "auto"
 
     def band_shape(self, scale: int) -> Tuple[int, int]:
         h, w = self.input_size

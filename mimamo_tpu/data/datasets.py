@@ -127,11 +127,25 @@ class _ClipDataset:
     # subclasses implement _load(ClipIndex) -> (clips, labels, mask)
 
     def batches(self, batch_size: int, shuffle: bool = False,
-                seed: int = 0, drop_remainder: bool = False
+                seed: int = 0, drop_remainder: bool = False,
+                process_id: int = 0, process_count: int = 1
                 ) -> Iterator[Batch]:
+        """``process_id``/``process_count`` give each host process a
+        disjoint interleaved slice of the (identically shuffled) clip
+        index — the per-host input pipeline for multi-host data
+        parallelism (SURVEY.md §7 step 7): every process draws
+        ``batch_size`` clips for its local devices, and the global batch
+        is the concatenation across processes (assemble device arrays
+        with ``jax.make_array_from_process_local_data`` on pod slices).
+        """
         order = np.arange(len(self._index))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
+        if process_count > 1:
+            if not 0 <= process_id < process_count:
+                raise ValueError(f"process_id {process_id} out of range "
+                                 f"for {process_count}")
+            order = order[process_id::process_count]
         for i in range(0, len(order), batch_size):
             sel = order[i:i + batch_size]
             if drop_remainder and len(sel) < batch_size:

@@ -110,16 +110,53 @@ def _center_box(h: int, w: int) -> np.ndarray:
                       np.float32)
 
 
+def _shift_box(box: np.ndarray, dy: float, dx: float, h: int,
+               w: int) -> np.ndarray:
+    y0, x0, bh, bw = box
+    y0 = float(np.clip(y0 + dy, 0, h - bh))
+    x0 = float(np.clip(x0 + dx, 0, w - bw))
+    return np.asarray([y0, x0, bh, bw], np.float32)
+
+
+def _lk_shift(prev_gray: np.ndarray, cur_gray: np.ndarray,
+              box: np.ndarray) -> Optional[Tuple[float, float]]:
+    """Median sparse-LK displacement of good features inside ``box``."""
+    y0, x0, bh, bw = box.astype(int)
+    roi = prev_gray[y0:y0 + bh, x0:x0 + bw]
+    if roi.size == 0:
+        return None
+    pts = cv2.goodFeaturesToTrack(roi, maxCorners=32, qualityLevel=0.05,
+                                  minDistance=5)
+    if pts is None or len(pts) < 4:
+        return None
+    pts = pts.reshape(-1, 2) + np.asarray([x0, y0], np.float32)
+    nxt, ok, _err = cv2.calcOpticalFlowPyrLK(
+        prev_gray, cur_gray, pts.astype(np.float32), None,
+        winSize=(15, 15), maxLevel=2)
+    ok = ok.reshape(-1).astype(bool)
+    if ok.sum() < 4:
+        return None
+    d = (nxt.reshape(-1, 2) - pts)[ok]
+    dx, dy = np.median(d[:, 0]), np.median(d[:, 1])
+    return float(dy), float(dx)
+
+
 def face_boxes(frames_rgb: np.ndarray,
                boxes_path: Optional[str] = None,
                detect_every: int = 8,
-               margin: float = 0.25) -> np.ndarray:
+               margin: float = 0.25,
+               track: str = "lk") -> np.ndarray:
     """Per-frame (y0, x0, height, width) face boxes for [T, H, W, 3] frames.
 
-    Tracks by re-detecting every ``detect_every`` frames and holding the
-    last box in between (the reference reuses the last crop on no-face
-    frames — SURVEY.md §2 "Video preprocessor"). Boxes are squared and
-    expanded by ``margin`` to approximate OpenFace's aligned crop extent.
+    Re-detects every ``detect_every`` frames; between detections the box
+    follows the face via sparse Lucas-Kanade optical flow
+    (``track="lk"``, the default) instead of the reference's hold-last
+    policy (``track="hold"`` restores it — SURVEY.md §2 "Video
+    preprocessor" notes the reference reuses the last crop on no-face
+    frames). Flow tracking closes part of the capability gap vs
+    OpenFace's CE-CLM tracking for moving faces without any native
+    dependency beyond OpenCV. Boxes are squared and expanded by
+    ``margin`` to approximate OpenFace's aligned crop extent.
     """
     t, h, w, _ = frames_rgb.shape
     if boxes_path:
@@ -132,13 +169,18 @@ def face_boxes(frames_rgb: np.ndarray,
             raise ValueError(
                 f"{boxes_path}: expected shape {(t, 4)}, got {boxes.shape}")
         return boxes
+    if track not in ("lk", "hold"):
+        raise ValueError(f"track must be 'lk' or 'hold', got {track!r}")
 
     det = _haar_detector()
     boxes = np.empty((t, 4), np.float32)
     last = _center_box(h, w)
+    prev_gray = None
     for i in range(t):
+        gray = (cv2.cvtColor(frames_rgb[i], cv2.COLOR_RGB2GRAY)
+                if (track == "lk" or det is not None) else None)
+        detected = False
         if det is not None and i % detect_every == 0:
-            gray = cv2.cvtColor(frames_rgb[i], cv2.COLOR_RGB2GRAY)
             m = min(h, w) // 8  # cv2 Size is (width, height); use min side
             found = det.detectMultiScale(gray, scaleFactor=1.2,
                                          minNeighbors=4, minSize=(m, m))
@@ -152,7 +194,13 @@ def face_boxes(frames_rgb: np.ndarray,
                 side_x = min(side, w - x0)
                 side = min(side_y, side_x)
                 last = np.asarray([y0, x0, side, side], np.float32)
+                detected = True
+        if (track == "lk" and not detected and prev_gray is not None):
+            shift = _lk_shift(prev_gray, gray, last)
+            if shift is not None:
+                last = _shift_box(last, shift[0], shift[1], h, w)
         boxes[i] = last
+        prev_gray = gray
     return boxes
 
 

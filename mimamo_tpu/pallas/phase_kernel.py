@@ -160,14 +160,12 @@ def micro_motion_features_fused(frames: jnp.ndarray, pyramid_spec,
     from .. import pyramid as pyr_mod
 
     masks = pyr_mod.make_masks(pyramid_spec)
-    x = jnp.fft.fftshift(jnp.fft.fft2(frames.astype(jnp.float32)),
-                         axes=(-2, -1))
+    x = pyr_mod.fft2_shifted(frames.astype(jnp.float32), pyramid_spec)
     p = phase_spec.phase_size
     chans = []
     for s in range(pyramid_spec.height):
         xc = pyr_mod._crop(x, s)[..., None, :, :]
-        band = jnp.fft.ifft2(
-            jnp.fft.ifftshift(xc * masks["bands"][s], axes=(-2, -1)))
+        band = pyr_mod.ifft2_shifted(xc * masks["bands"][s], pyramid_spec)
         chans.append(phase_diff_resize_blocked(
             band[:, 1:], band[:, :-1], phase_size=p, block=block,
             interpret=interpret,

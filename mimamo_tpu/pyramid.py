@@ -133,6 +133,72 @@ def make_masks(spec: PyramidSpec) -> Dict[str, tuple]:
 
 
 # ---------------------------------------------------------------------------
+# FFT dispatch: XLA FFT vs DFT-as-matmul (MXU)
+# ---------------------------------------------------------------------------
+#
+# XLA's TPU FFT lowering is scalar-heavy and slow; at the pyramid's sizes
+# (<= 112 per axis) the 2-D DFT expressed as two [n, n] complex matmuls
+# rides the MXU instead. fftshift/ifftshift are baked into the DFT
+# matrices as row/column rolls, so `fftshift(fft2(x))` is exactly
+# `A @ x @ A^T` and `ifft2(ifftshift(Y))` is `B @ Y @ B^T` — one fused
+# XLA computation, no gather/roll ops. HIGHEST matmul precision keeps the
+# band phases inside the 1e-3 parity budget (f32 inputs would otherwise
+# round through bf16 on the MXU).
+
+def _dft_matrix(n: int, inverse: bool) -> np.ndarray:
+    k = np.arange(n)
+    sign = 2j if inverse else -2j
+    m = np.exp(sign * np.pi * np.outer(k, k) / n)
+    return (m / n) if inverse else m
+
+
+@functools.lru_cache(maxsize=16)
+def _fwd_shift_matrix(n: int) -> np.ndarray:
+    """A with fftshift(fft2(x)) == A @ x @ A.T (even n)."""
+    return np.roll(_dft_matrix(n, inverse=False), n // 2,
+                   axis=0).astype(np.complex64)
+
+
+@functools.lru_cache(maxsize=16)
+def _inv_shift_matrix(n: int) -> np.ndarray:
+    """B with ifft2(ifftshift(Y)) == B @ Y @ B.T (even n)."""
+    return np.roll(_dft_matrix(n, inverse=True), n // 2,
+                   axis=1).astype(np.complex64)
+
+
+def _mm2(x: jnp.ndarray, m_h: np.ndarray, m_w: np.ndarray) -> jnp.ndarray:
+    """M_h @ x @ M_w^T over the trailing two axes (complex matmuls)."""
+    y = jnp.einsum("ph,...hw->...pw", jnp.asarray(m_h),
+                   x.astype(jnp.complex64),
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("...pw,qw->...pq", y, jnp.asarray(m_w),
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _use_matmul_fft(spec: PyramidSpec) -> bool:
+    if spec.fft_mode == "auto":
+        return jax.default_backend() == "tpu"
+    return spec.fft_mode == "matmul"
+
+
+def fft2_shifted(x: jnp.ndarray, spec: PyramidSpec) -> jnp.ndarray:
+    """fftshift(fft2(x)) over the trailing two axes, per spec.fft_mode."""
+    if _use_matmul_fft(spec):
+        h, w = x.shape[-2], x.shape[-1]
+        return _mm2(x, _fwd_shift_matrix(h), _fwd_shift_matrix(w))
+    return jnp.fft.fftshift(jnp.fft.fft2(x.astype(jnp.complex64)),
+                            axes=(-2, -1))
+
+
+def ifft2_shifted(y: jnp.ndarray, spec: PyramidSpec) -> jnp.ndarray:
+    """ifft2(ifftshift(y)) over the trailing two axes, per spec.fft_mode."""
+    if _use_matmul_fft(spec):
+        h, w = y.shape[-2], y.shape[-1]
+        return _mm2(y, _inv_shift_matrix(h), _inv_shift_matrix(w))
+    return jnp.fft.ifft2(jnp.fft.ifftshift(y, axes=(-2, -1)))
+
+
+# ---------------------------------------------------------------------------
 # Build / reconstruct (JAX)
 # ---------------------------------------------------------------------------
 
@@ -159,11 +225,10 @@ def build(frames: jnp.ndarray, spec: PyramidSpec) -> Pyramid:
             f"frames spatial shape {frames.shape[-2:]} != spec.input_size "
             f"{spec.input_size}")
     masks = make_masks(spec)
-    x = jnp.fft.fftshift(jnp.fft.fft2(frames.astype(jnp.float32)),
-                         axes=(-2, -1))
+    x = fft2_shifted(frames.astype(jnp.float32), spec)
 
     def inv(spec_dom):
-        return jnp.fft.ifft2(jnp.fft.ifftshift(spec_dom, axes=(-2, -1)))
+        return ifft2_shifted(spec_dom, spec)
 
     high = inv(x * masks["hi0"][0]).real
     bands = []

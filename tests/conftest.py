@@ -19,3 +19,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: the suite's wall time is dominated by
+# CPU compiles of the full pipeline (~30-60s each); caching them across
+# runs cuts repeat suite runs drastically (CLAUDE.md test budget).
+jax.config.update("jax_compilation_cache_dir",
+                  "/tmp/jax_cache_mimamo_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -82,6 +82,59 @@ class TestWarpSimilarity:
         assert diff.mean() < 6.0, f"mean diff {diff.mean()}"
 
 
+class TestBoxTracking:
+    @staticmethod
+    def _moving_square_clip(t=10, size=96, step=3):
+        """Textured square translating right by ``step`` px/frame (no
+        detectable face, so only tracking moves the box)."""
+        rng = np.random.default_rng(5)
+        tex = rng.uniform(0, 255, (24, 24)).astype(np.float32)
+        frames = np.full((t, size, size, 3), 32, np.uint8)
+        for i in range(t):
+            x0 = 12 + i * step
+            frames[i, 36:60, x0:x0 + 24] = \
+                tex[..., None].repeat(3, -1).astype(np.uint8)
+        return frames
+
+    class _FakeDet:
+        """Detects the square once at frame 0, then goes blind — so any
+        later box motion is the tracker's doing."""
+
+        def __init__(self):
+            self.calls = 0
+
+        def detectMultiScale(self, gray, **kw):
+            self.calls += 1
+            return (np.asarray([[12, 36, 24, 24]]) if self.calls == 1
+                    else ())
+
+    def test_lk_tracking_follows_motion(self, monkeypatch):
+        frames = self._moving_square_clip()
+        monkeypatch.setattr(decode, "_haar_detector",
+                            lambda: self._FakeDet())
+        hold = decode.face_boxes(frames, detect_every=1000, track="hold")
+        lk = decode.face_boxes(frames, detect_every=1000, track="lk")
+        # hold-last never moves after the single detection; LK follows
+        # the square rightward
+        np.testing.assert_allclose(hold[1], hold[-1])
+        drift = lk[-1, 1] - lk[0, 1]
+        expected = 3.0 * (len(frames) - 1)
+        assert drift > 0.6 * expected, (
+            f"LK box moved {drift:.1f}px, expected ~{expected}")
+
+    def test_lk_static_scene_stays_put(self):
+        rng = np.random.default_rng(6)
+        frame = rng.uniform(0, 255, (64, 64, 3)).astype(np.uint8)
+        frames = np.repeat(frame[None], 6, axis=0)
+        lk = decode.face_boxes(frames, detect_every=1000, track="lk")
+        np.testing.assert_allclose(lk[0], lk[-1], atol=0.5)
+
+    def test_rejects_unknown_mode(self):
+        frames = np.zeros((2, 32, 32, 3), np.uint8)
+        with np.testing.assert_raises(ValueError):
+            decode.face_boxes(frames, track="nope")
+
+
 class TestLandmarkPlumbing:
     def test_eye_landmarks_fallback_canonical(self):
         """No detectable eyes in noise -> canonical in-box positions."""

@@ -35,6 +35,24 @@ class TestOMG:
         # utterance-level labels broadcast over time
         assert (b["labels"][0] == b["labels"][0][0]).all()
 
+    def test_process_sharded_batches_disjoint(self, omg):
+        """Per-host input pipeline: the same shuffled index is split
+        into disjoint slices whose union covers every clip."""
+        ds, _ = omg
+
+        def keys(pid, n):
+            out = []
+            for b in ds.batches(2, shuffle=True, seed=3,
+                                process_id=pid, process_count=n):
+                out.extend(map(tuple, np.asarray(
+                    b["labels"][:, 0]).round(4)))
+            return out
+
+        a, b = keys(0, 2), keys(1, 2)
+        total = keys(0, 1)
+        assert len(a) + len(b) == len(total) == 16
+        assert sorted(a + b) == sorted(total)
+
     def test_shuffle_deterministic(self, omg):
         ds, _ = omg
         a = [b["labels"][0, 0, 0] for b in ds.batches(4, shuffle=True,
@@ -97,8 +115,8 @@ class TestBatchedEval:
         """Eval routed through the batch-of-streams session produces the
         same CCC as per-sequence streaming with far fewer device
         dispatches (VERDICT round 1 'eval harness runs batch=1')."""
-        root = str(tmp_path / "omg16")
-        manifest = datasets.make_synthetic_omg(root, n_videos=4, n_utts=4,
+        root = str(tmp_path / "omg8")
+        manifest = datasets.make_synthetic_omg(root, n_videos=2, n_utts=4,
                                                frames=20, size=32)
         cfg = tiny_config(clip_len=8, stride=4)
         ds = datasets.OMGEmotionDataset(root, manifest, cfg.clip)
@@ -133,7 +151,7 @@ class TestBatchedEval:
                                    atol=1e-4)
         np.testing.assert_allclose(out_b["arousal_ccc"], ccc[1],
                                    atol=1e-4)
-        assert out_b["n_utterances"] == 16
+        assert out_b["n_utterances"] == 8
         assert batched_calls <= seq_calls / 2, (
             f"batched eval should batch dispatches: {batched_calls} vs "
             f"sequential {seq_calls}")
@@ -242,7 +260,12 @@ class TestCLI:
                   "--backbone-size", "32", "--pyramid-height", "2",
                   "--phase-size", "16", "--cpu"]
         env = dict(os.environ, JAX_PLATFORMS="cpu",
-                   PYTHONPATH="/root/repo")
+                   PYTHONPATH="/root/repo",
+                   # share the suite's persistent compile cache (the
+                   # subprocess doesn't run conftest.py)
+                   JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_mimamo_tests",
+                   JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="2",
+                   JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="0")
         r = subprocess.run(
             [sys.executable, "-m", "mimamo_tpu.cli", "train",
              "--dataset", "omg", "--root", root, "--manifest", manifest,

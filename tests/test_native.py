@@ -113,6 +113,34 @@ class TestCorpusRunner:
         assert stats2["videos"] == 0
         assert stats2["resumed_skipped"] == 3
 
+    def test_two_process_sharding_disjoint(self, corpus_dir, model_vars,
+                                           tmp_path):
+        """Two 'processes' over a shared out_dir work disjoint video
+        slices (per-process manifests) and their union covers the
+        corpus; a resume on either process skips the other's work too."""
+        root, lengths = corpus_dir
+        model, variables = model_vars
+        paths = [str(root / f"v{i}.mp4") for i in range(3)]
+        out_dir = str(tmp_path / "mp")
+        s0 = CorpusRunner(model, variables, out_dir, batch_clips=2,
+                          use_native=False, process_id=0,
+                          process_count=2).run(paths)
+        s1 = CorpusRunner(model, variables, out_dir, batch_clips=2,
+                          use_native=False, process_id=1,
+                          process_count=2).run(paths)
+        assert s0["videos"] + s1["videos"] == 3
+        assert s0["videos"] == 2 and s1["videos"] == 1  # round-robin
+        assert os.path.exists(os.path.join(out_dir, "manifest.p0.jsonl"))
+        assert os.path.exists(os.path.join(out_dir, "manifest.p1.jsonl"))
+        for i in range(3):
+            assert os.path.exists(os.path.join(out_dir, f"v{i}.csv"))
+        # resume sees BOTH manifests: nothing re-runs on either process
+        for pid in (0, 1):
+            s = CorpusRunner(model, variables, out_dir, batch_clips=2,
+                             use_native=False, process_id=pid,
+                             process_count=2).run(paths)
+            assert s["videos"] == 0
+
     def test_partial_resume(self, corpus_dir, model_vars, tmp_path):
         root, lengths = corpus_dir
         model, variables = model_vars

@@ -137,3 +137,37 @@ class TestProperties:
     def test_rejects_wrong_input_size(self):
         with np.testing.assert_raises(ValueError):
             pyramid.build(jnp.zeros((1, 32, 32)), SPEC)
+
+
+class TestMatmulDFT:
+    """The MXU DFT path (fft_mode='matmul': shift-baked complex matmuls)
+    must match jnp.fft numerically — it is the TPU production path."""
+
+    def test_fft_roundtrip_and_parity(self):
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.standard_normal((3, 64, 64)).astype(
+            np.float32) * 40)
+        spec_mm = PyramidSpec(height=2, orientations=4,
+                              input_size=(64, 64), fft_mode="matmul")
+        got = np.asarray(pyramid.fft2_shifted(x, spec_mm))
+        want = np.fft.fftshift(np.fft.fft2(np.asarray(x, np.float64)),
+                               axes=(-2, -1))
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, atol=2e-5 * scale, rtol=0)
+        back = np.asarray(pyramid.ifft2_shifted(jnp.asarray(want), spec_mm))
+        np.testing.assert_allclose(back.real, np.asarray(x), atol=1e-3)
+
+    def test_micro_motion_modes_agree(self):
+        from mimamo_tpu.config import PhaseSpec
+        from mimamo_tpu import phase as phase_mod
+        rng = np.random.default_rng(12)
+        frames = jnp.asarray(
+            rng.uniform(0, 255, (1, 4, 64, 64)).astype(np.float32))
+        ph = PhaseSpec(phase_size=48)
+        base = PyramidSpec(height=3, orientations=4, input_size=(64, 64),
+                           fft_mode="fft")
+        mm = PyramidSpec(height=3, orientations=4, input_size=(64, 64),
+                         fft_mode="matmul")
+        a = np.asarray(phase_mod.micro_motion_features(frames, base, ph))
+        b = np.asarray(phase_mod.micro_motion_features(frames, mm, ph))
+        np.testing.assert_allclose(a, b, atol=1e-3, rtol=0)

@@ -204,6 +204,17 @@ class TestPreprocess:
         np.testing.assert_allclose(np.asarray(merged[2:4]), 2.0)
         np.testing.assert_allclose(np.asarray(merged[4:]), 3.0)
 
+    def test_upscale2x_matches_resize_matrix(self):
+        """The fused 2-tap interleave upscale == the matmul-form bilinear
+        resize (and therefore torch F.interpolate) at scale factor 2."""
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.uniform(0, 255, (3, 16, 16, 5)).astype(
+            np.float32))
+        got = np.asarray(preprocess.upscale2x(x))
+        want = np.asarray(jnp.moveaxis(preprocess.resize_bilinear(
+            jnp.moveaxis(x, -1, -3), (32, 32)), -3, -1))
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=0)
+
     def test_grayscale_bt601(self):
         x = jnp.zeros((1, 2, 2, 3)).at[..., 1].set(100.0)
         np.testing.assert_allclose(
