@@ -47,14 +47,34 @@ class VideoProcessor:
 
     def process(self, video_path: str, out_dir: str,
                 boxes_path: Optional[str] = None,
-                max_frames: Optional[int] = None) -> str:
+                max_frames: Optional[int] = None,
+                align: bool = False,
+                landmarks_path: Optional[str] = None) -> str:
+        """``align=True`` writes similarity-ALIGNED crops (OpenFace's
+        ``cropped_aligned`` role) from eye landmarks (priority: explicit
+        file -> ``<video>.landmarks.npy`` sidecar -> built-in tracker);
+        the landmarks used are saved next to the crops for provenance."""
         import jax.numpy as jnp
+        from . import preprocess
         frames, boxes = decode.load_video_with_boxes(
             video_path, boxes_path=boxes_path, max_frames=max_frames)
-        crops = np.asarray(self.model._crop_video(
-            None, jnp.asarray(frames), jnp.asarray(boxes)))
         os.makedirs(out_dir, exist_ok=True)
         name = os.path.splitext(os.path.basename(video_path))[0]
+        if align or landmarks_path:
+            landmarks = decode.load_landmarks(
+                video_path, frames.shape[0], landmarks_path)
+            if landmarks is None:
+                landmarks = decode.eye_landmarks(
+                    frames.astype(np.uint8), boxes)
+            params = preprocess.similarity_from_eyes(landmarks,
+                                                     self.save_size)
+            crops = np.asarray(self.model._align_video(
+                None, jnp.asarray(frames), jnp.asarray(params)))
+            np.save(os.path.join(out_dir, name + ".landmarks.npy"),
+                    landmarks)
+        else:
+            crops = np.asarray(self.model._crop_video(
+                None, jnp.asarray(frames), jnp.asarray(boxes)))
         out = os.path.join(out_dir, name + ".npy")
         np.save(out, np.clip(crops, 0, 255).astype(np.uint8))
         np.save(os.path.join(out_dir, name + ".boxes.npy"), boxes)

@@ -85,7 +85,8 @@ def cmd_extract(args) -> int:
     config = _config(args)
     vp = VideoProcessor(save_size=args.crop_size, config=config)
     crops = vp.process(args.video, args.out_dir, boxes_path=args.boxes,
-                       max_frames=args.max_frames)
+                       max_frames=args.max_frames, align=args.align,
+                       landmarks_path=args.landmarks)
     variables = None
     if args.ckpt:
         import jax
@@ -322,6 +323,11 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--video", required=True)
     p.add_argument("--out-dir", required=True)
     p.add_argument("--boxes", default=None)
+    p.add_argument("--align", action="store_true",
+                   help="write similarity-aligned crops (OpenFace role)")
+    p.add_argument("--landmarks", default=None,
+                   help="precomputed [T, 2, 2] eye-landmark .npy; "
+                        "implies --align")
     p.add_argument("--ckpt", default=None,
                    help="orbax checkpoint for backbone weights (without "
                         "it, features come from random init)")

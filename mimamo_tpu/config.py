@@ -98,6 +98,10 @@ class TemporalSpec:
     # frame features snippet-averaged, the GRUs step once per snippet,
     # and outputs are broadcast back to frames.
     snippet_len: int = 1
+    # Advance both streams' recurrences inside ONE lax.scan (identical
+    # math; halves the sequential matmul chain — the GRUs are latency-
+    # bound on TPU). False runs the two scans back-to-back.
+    fused_gru: bool = True
     dtype: str = "float32"
 
 

@@ -100,10 +100,20 @@ def _upscale2x_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 
 def _shift_clamp(x: jnp.ndarray, shift: int, axis: int) -> jnp.ndarray:
-    """Shift along ``axis`` replicating the edge value (clamp)."""
+    """Shift by +-1 along ``axis`` replicating the edge value (clamp).
+
+    Slice + concat (not a gather): XLA fuses these into the surrounding
+    elementwise ops.
+    """
     n = x.shape[axis]
-    idx = np.clip(np.arange(n) - shift, 0, n - 1)
-    return jnp.take(x, jnp.asarray(idx), axis=axis)
+    if shift == 1:
+        body = jax.lax.slice_in_dim(x, 0, n - 1, axis=axis)
+        edge = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+        return jnp.concatenate([edge, body], axis=axis)
+    assert shift == -1
+    body = jax.lax.slice_in_dim(x, 1, n, axis=axis)
+    edge = jax.lax.slice_in_dim(x, n - 1, n, axis=axis)
+    return jnp.concatenate([body, edge], axis=axis)
 
 
 def upscale2x(x: jnp.ndarray) -> jnp.ndarray:

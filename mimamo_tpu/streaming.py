@@ -32,19 +32,25 @@ from .temporal import init_carries
 
 class StreamingSession:
     def __init__(self, model: Mimamo, variables: Variables,
-                 capacity: int = 8, chunk: int = 16, mesh=None):
+                 capacity: int = 8, chunk: int = 16, mesh=None,
+                 dtype=np.float32):
         """``mesh``: optional device mesh; the slot (stream) axis is
         sharded over it — the batch-of-streams axis IS the scaling axis
         for serving (SURVEY.md §5 "long-context" row), so a pod slice
         serves ``capacity`` streams with params replicated and the GSPMD
-        partitioner keeping every carry/context shard device-resident."""
+        partitioner keeping every carry/context shard device-resident.
+
+        ``dtype=np.uint8`` ships chunks to the device as uint8 (4x less
+        transfer; the model casts on device — outputs are identical for
+        integral pixel values)."""
         self.model = model
         self.capacity = capacity
         self.chunk = chunk
+        self.dtype = np.dtype(dtype)
         cfg = model.config
         s = cfg.clip.crop_size
         self._gru = init_carries(cfg.temporal, capacity)
-        self._context = jnp.zeros((capacity, 1, s, s, 3), jnp.float32)
+        self._context = jnp.zeros((capacity, 1, s, s, 3), self.dtype)
         self._free = list(range(capacity))
         self._fresh = np.zeros(capacity, bool)
         self._slot_axis = 0 if cfg.temporal.gru_layers == 1 else 1
@@ -110,7 +116,7 @@ class StreamingSession:
             return {}
         cfg = self.model.config.clip
         s = cfg.crop_size
-        batch = np.zeros((self.capacity, self.chunk, s, s, 3), np.float32)
+        batch = np.zeros((self.capacity, self.chunk, s, s, 3), self.dtype)
         for slot, f in frames_by_slot.items():
             if (not isinstance(slot, (int, np.integer))
                     or not 0 <= slot < self.capacity

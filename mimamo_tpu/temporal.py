@@ -30,6 +30,25 @@ import jax.numpy as jnp
 from .config import TemporalSpec
 
 
+def _gru_cell(h_prev: jnp.ndarray, x_g: jnp.ndarray, w_hh: jnp.ndarray,
+              b_hh: jnp.ndarray) -> jnp.ndarray:
+    """One torch-convention GRU step given precomputed input gates."""
+    h_proj = h_prev @ w_hh.T + b_hh
+    xr, xz, xn = jnp.split(x_g, 3, axis=-1)
+    hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    return (1.0 - z) * n + z * h_prev
+
+
+def _input_proj(xs: jnp.ndarray, w_ih: jnp.ndarray,
+                b_ih: jnp.ndarray) -> jnp.ndarray:
+    # Input projections for all steps at once: one big [B*T, D]x[D, 3H]
+    # matmul keeps the MXU busy; only the recurrent matmul is sequential.
+    return jnp.einsum("btd,gd->btg", xs, w_ih) + b_ih
+
+
 class GRU(nn.Module):
     """GRU over the time axis, torch ``nn.GRU`` conventions.
 
@@ -39,37 +58,54 @@ class GRU(nn.Module):
     ``layers > 1`` extra layers' params are prefixed ``l<i>_`` (layer 0
     keeps the flat names for checkpoint compatibility) and the carry is
     stacked [L, B, H] (torch ``h_n`` layout).
+
+    With ``in_dim`` set, parameters are declared in ``setup`` so a parent
+    module can fetch them via :meth:`layer_weights` and run its own fused
+    scan (see ``TwoStreamRNN``); without it, ``__call__`` declares them
+    lazily from the input shape (same names either way).
     """
 
     hidden: int
     layers: int = 1
+    in_dim: Optional[int] = None
+
+    def setup(self):
+        if self.in_dim is None:
+            self._weights = None
+            return
+        self._weights = tuple(
+            self._declare(li, self.in_dim if li == 0 else self.hidden)
+            for li in range(self.layers))
+
+    def _uinit(self, key, shape):
+        k = 1.0 / jnp.sqrt(self.hidden)
+        return jax.random.uniform(key, shape, jnp.float32, -k, k)
+
+    def _declare(self, li: int, d: int):
+        h = self.hidden
+        suffix = "" if li == 0 else f"l{li}_"
+        return (self.param(f"{suffix}w_ih", self._uinit, (3 * h, d)),
+                self.param(f"{suffix}w_hh", self._uinit, (3 * h, h)),
+                self.param(f"{suffix}b_ih", self._uinit, (3 * h,)),
+                self.param(f"{suffix}b_hh", self._uinit, (3 * h,)))
+
+    def layer_weights(self, li: int):
+        """(w_ih, w_hh, b_ih, b_hh) of layer ``li`` (requires in_dim)."""
+        if self._weights is None:
+            raise ValueError("layer_weights requires in_dim at "
+                             "construction")
+        return self._weights[li]
 
     def _layer(self, xs, h0, d, suffix):
-        h = self.hidden
-        k = 1.0 / jnp.sqrt(h)
-
-        def uinit(key, shape):
-            return jax.random.uniform(key, shape, jnp.float32, -k, k)
-
-        w_ih = self.param(f"{suffix}w_ih", uinit, (3 * h, d))
-        w_hh = self.param(f"{suffix}w_hh", uinit, (3 * h, h))
-        b_ih = self.param(f"{suffix}b_ih", uinit, (3 * h,))
-        b_hh = self.param(f"{suffix}b_hh", uinit, (3 * h,))
-
-        # Input projections for all steps at once: one big [B*T, D]x[D, 3H]
-        # matmul keeps the MXU busy; only the recurrent matmul is
-        # sequential.
-        x_proj = jnp.einsum("btd,gd->btg", xs, w_ih) + b_ih
+        li = 0 if suffix == "" else int(suffix[1:-1])
+        if self._weights is not None:
+            w_ih, w_hh, b_ih, b_hh = self._weights[li]
+        else:
+            w_ih, w_hh, b_ih, b_hh = self._declare(li, d)
+        x_proj = _input_proj(xs, w_ih, b_ih)
 
         def step(carry, x_g):
-            h_prev = carry
-            h_proj = h_prev @ w_hh.T + b_hh
-            xr, xz, xn = jnp.split(x_g, 3, axis=-1)
-            hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
-            r = jax.nn.sigmoid(xr + hr)
-            z = jax.nn.sigmoid(xz + hz)
-            n = jnp.tanh(xn + r * hn)
-            h_new = (1.0 - z) * n + z * h_prev
+            h_new = _gru_cell(carry, x_g, w_hh, b_hh)
             return h_new, h_new
 
         h_final, ys = jax.lax.scan(step, h0, jnp.swapaxes(x_proj, 0, 1))
@@ -186,10 +222,21 @@ class TwoStreamRNN(nn.Module):
             macro = jnp.mean(macro.reshape(b, n, w, -1), axis=2)
 
         c_micro, c_macro = carries if carries is not None else (None, None)
-        ys_micro, h_micro = GRU(spec.gru_hidden, spec.gru_layers,
-                                name="gru_micro")(micro, c_micro)
-        ys_macro, h_macro = GRU(spec.gru_hidden, spec.gru_layers,
-                                name="gru_macro")(macro, c_macro)
+        gru_micro = GRU(spec.gru_hidden, spec.gru_layers,
+                        in_dim=micro.shape[-1], name="gru_micro")
+        gru_macro = GRU(spec.gru_hidden, spec.gru_layers,
+                        in_dim=macro.shape[-1], name="gru_macro")
+        if spec.fused_gru:
+            # One lax.scan advances BOTH streams per step: the two
+            # recurrences are independent, so fusing them halves the
+            # sequential-matmul chain length (GRU wall time is latency-
+            # bound on TPU — tiny [B,H]x[H,3H] dots can't fill the MXU).
+            ys_micro, ys_macro, h_micro, h_macro = _dual_gru(
+                gru_micro, gru_macro, micro, macro, c_micro, c_macro,
+                spec.gru_layers, spec.gru_hidden)
+        else:
+            ys_micro, h_micro = gru_micro(micro, c_micro)
+            ys_macro, h_macro = gru_macro(macro, c_macro)
 
         fused = jnp.concatenate([ys_micro, ys_macro], axis=-1)
         fused = nn.relu(nn.Dense(spec.fusion_hidden, name="fusion")(fused))
@@ -200,6 +247,46 @@ class TwoStreamRNN(nn.Module):
             # Broadcast snippet outputs back to per-frame predictions.
             out = jnp.repeat(out, w, axis=1)
         return out, (h_micro, h_macro)
+
+
+def _dual_gru(ga: GRU, gb: GRU, xa: jnp.ndarray, xb: jnp.ndarray,
+              h0a, h0b, layers: int, hidden: int):
+    """Run two independent stacked GRUs through shared scans.
+
+    Same math (and parameters) as calling each GRU separately — verified
+    bit-level in tests — but each time step's two recurrent matmuls are
+    issued inside one scan body instead of two back-to-back scans.
+    """
+    b = xa.shape[0]
+
+    def init_c(h0, li, like):
+        if h0 is None:
+            return jnp.zeros((b, hidden), like.dtype)
+        return h0 if layers == 1 else h0[li]
+
+    finals_a, finals_b = [], []
+    for li in range(layers):
+        wa_ih, wa_hh, wa_bih, wa_bhh = ga.layer_weights(li)
+        wb_ih, wb_hh, wb_bih, wb_bhh = gb.layer_weights(li)
+        pa = _input_proj(xa, wa_ih, wa_bih)
+        pb = _input_proj(xb, wb_ih, wb_bih)
+
+        def step(carry, x_g, _wa=(wa_hh, wa_bhh), _wb=(wb_hh, wb_bhh)):
+            ha, hb = carry
+            ha = _gru_cell(ha, x_g[0], *_wa)
+            hb = _gru_cell(hb, x_g[1], *_wb)
+            return (ha, hb), (ha, hb)
+
+        (hfa, hfb), (ysa, ysb) = jax.lax.scan(
+            step, (init_c(h0a, li, xa), init_c(h0b, li, xb)),
+            (jnp.swapaxes(pa, 0, 1), jnp.swapaxes(pb, 0, 1)))
+        xa = jnp.swapaxes(ysa, 0, 1)
+        xb = jnp.swapaxes(ysb, 0, 1)
+        finals_a.append(hfa)
+        finals_b.append(hfb)
+    hfa = finals_a[0] if layers == 1 else jnp.stack(finals_a)
+    hfb = finals_b[0] if layers == 1 else jnp.stack(finals_b)
+    return xa, xb, hfa, hfb
 
 
 def init_carries(spec: TemporalSpec, batch: int

@@ -72,6 +72,22 @@ class TestStreamingSession:
         # chunk — stale carries would leak stream a's state
         np.testing.assert_allclose(out_c, out_a1, atol=1e-5)
 
+    def test_uint8_session_bit_identical(self, model_vars):
+        """dtype=uint8 session (4x cheaper transfers) == float session
+        on the same integral pixel values."""
+        model, variables = model_vars
+        rng = np.random.default_rng(7)
+        video = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+        outs = {}
+        for dt in (np.float32, np.uint8):
+            sess = StreamingSession(model, variables, capacity=2,
+                                    chunk=4, dtype=dt)
+            slot = sess.add_stream()
+            outs[dt] = np.concatenate([
+                sess.feed({slot: video[:4].astype(dt)})[slot],
+                sess.feed({slot: video[4:].astype(dt)})[slot]])
+        np.testing.assert_array_equal(outs[np.uint8], outs[np.float32])
+
     def test_capacity_exhausted(self, model_vars):
         model, variables = model_vars
         sess = StreamingSession(model, variables, capacity=1, chunk=4)

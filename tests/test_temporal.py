@@ -146,6 +146,30 @@ class TestTwoStream:
         with np.testing.assert_raises(ValueError):
             model.init(jax.random.PRNGKey(0), phase, feats)
 
+    def test_fused_dual_gru_matches_sequential(self):
+        """fused_gru=True (one shared scan) == two separate GRU scans,
+        same variables — incl. stacked layers and streaming carries."""
+        import dataclasses
+        for layers in (1, 2):
+            spec_f = TemporalSpec(gru_layers=layers, fused_gru=True)
+            spec_s = dataclasses.replace(spec_f, fused_gru=False)
+            phase, feats = self._inputs(t=6, seed=layers)
+            mf = temporal.TwoStreamRNN(spec_f)
+            ms = temporal.TwoStreamRNN(spec_s)
+            variables = mf.init(jax.random.PRNGKey(layers), phase, feats)
+            out_f, (hm_f, hM_f) = mf.apply(variables, phase, feats)
+            out_s, (hm_s, hM_s) = ms.apply(variables, phase, feats)
+            np.testing.assert_array_equal(np.asarray(out_f),
+                                          np.asarray(out_s))
+            np.testing.assert_array_equal(np.asarray(hm_f),
+                                          np.asarray(hm_s))
+            np.testing.assert_array_equal(np.asarray(hM_f),
+                                          np.asarray(hM_s))
+            # carries round-trip through the fused path too
+            out2, _ = mf.apply(variables, phase, feats,
+                               carries=(hm_f, hM_f))
+            assert np.isfinite(np.asarray(out2)).all()
+
     def test_gradients_flow(self):
         phase, feats = self._inputs(t=4)
         model = temporal.TwoStreamRNN(SPEC)
