@@ -19,6 +19,12 @@ Layouts:
   Aff-Wild2: ``<root>/crops/<video>.npy`` [T, S, S, 3] uint8 +
     ``<root>/annotations/<video>.txt`` with a ``valence,arousal`` header
     and one "v,a" line per frame (-5 marks invalid frames, masked out).
+  Cached appearance features (the reference's actual training input —
+    it never runs ResNet online, SURVEY.md §3.2/§3.3): a ``.feat.npy``
+    [T, F] file next to each crop source (``api.FeatureExtractor``
+    output naming). When EVERY sequence has one, batches carry a
+    ``"features"`` key and the train step skips the frozen backbone
+    forward entirely.
 """
 
 from __future__ import annotations
@@ -103,12 +109,21 @@ def _resolve_crops(base_without_ext: str,
     return CropSource(base_without_ext, crop_size)
 
 
+def _resolve_features(base_without_ext: str) -> Optional[str]:
+    """``<base>.feat.npy`` cached-feature sidecar, if present."""
+    path = base_without_ext + ".feat.npy"
+    return path if os.path.exists(path) else None
+
+
 class _ClipDataset:
     """Shared sliding-window clip sampling over variable-length sequences."""
 
     def __init__(self, clip: ClipSpec):
         self.clip = clip
         self._index: List[ClipIndex] = []
+        # per-source cached-feature file paths (all-or-nothing: batches
+        # carry "features" only when every source has a sidecar)
+        self._features: List[Optional[str]] = []
 
     def _build_index(self, lengths: Sequence[int]) -> None:
         c, s = self.clip.clip_len, self.clip.stride
@@ -146,15 +161,32 @@ class _ClipDataset:
                 raise ValueError(f"process_id {process_id} out of range "
                                  f"for {process_count}")
             order = order[process_id::process_count]
+        with_feats = (len(self._features) > 0
+                      and all(f is not None for f in self._features))
         for i in range(0, len(order), batch_size):
             sel = order[i:i + batch_size]
             if drop_remainder and len(sel) < batch_size:
                 return
             clips, labels, masks = zip(*(self._load(self._index[j])
                                          for j in sel))
-            yield {"clips": np.stack(clips).astype(np.float32),
-                   "labels": np.stack(labels).astype(np.float32),
-                   "mask": np.stack(masks).astype(np.float32)}
+            batch = {"clips": np.stack(clips).astype(np.float32),
+                     "labels": np.stack(labels).astype(np.float32),
+                     "mask": np.stack(masks).astype(np.float32)}
+            if with_feats:
+                batch["features"] = np.stack([
+                    self._load_features(self._index[j]) for j in sel
+                ]).astype(np.float32)
+            yield batch
+
+    def _load_features(self, ci: ClipIndex) -> np.ndarray:
+        arr = np.load(self._features[ci.source], mmap_mode="r")
+        out = np.asarray(arr[ci.start:ci.start + self.clip.clip_len])
+        if out.shape[0] != self.clip.clip_len:
+            raise ValueError(
+                f"{self._features[ci.source]}: feature rows "
+                f"{arr.shape[0]} shorter than crops at window "
+                f"{ci.start}")
+        return out
 
 
 class OMGEmotionDataset(_ClipDataset):
@@ -177,8 +209,9 @@ class OMGEmotionDataset(_ClipDataset):
                                   float(row["arousal"])))
         self._sources = []
         for video, utt, _v, _a in self.rows:
-            self._sources.append(_resolve_crops(
-                os.path.join(root, video, utt), clip.crop_size))
+            base = os.path.join(root, video, utt)
+            self._sources.append(_resolve_crops(base, clip.crop_size))
+            self._features.append(_resolve_features(base))
         self._build_index([len(s) for s in self._sources])
 
     def _load(self, ci: ClipIndex):
@@ -225,13 +258,14 @@ class AffWild2Dataset(_ClipDataset):
         for vid in self.videos:
             ann = os.path.join(root, "annotations", vid + ".txt")
             labels = _read_affwild2_annotations(ann)
-            src = _resolve_crops(os.path.join(crops_dir, vid),
-                                 self.clip.crop_size)
+            base = os.path.join(crops_dir, vid)
+            src = _resolve_crops(base, self.clip.crop_size)
             if len(labels) != len(src):
                 raise ValueError(
                     f"{vid}: {len(src)} crops but {len(labels)} "
                     f"annotation rows")
             self._sources.append(src)
+            self._features.append(_resolve_features(base))
             self._labels.append(labels)
             lengths.append(len(src))
         self._build_index(lengths)

@@ -82,7 +82,10 @@ def make_train_step(model: Mimamo, tx: optax.GradientTransformation
 
     batch: {"clips": [B, T, S, S, 3] float 0..255 aligned crops,
             "labels": [B, T, 2] valence/arousal in [-1, 1],
-            "mask":   [B, T] float validity mask}.
+            "mask":   [B, T] float validity mask,
+            optional "features": [B, T, F] cached appearance embeddings
+            (the reference's training input — skips the frozen backbone
+            forward entirely; requires freeze_backbone=True)}.
     """
     cfg = model.config
     freeze = cfg.train.freeze_backbone
@@ -93,7 +96,14 @@ def make_train_step(model: Mimamo, tx: optax.GradientTransformation
         gray = preprocess.to_grayscale(clips)
         phase_stacks = micro_motion_features(gray, cfg.pyramid, cfg.phase)
         new_stats = dict(batch_stats)
-        if freeze:
+        if "features" in batch:
+            if not freeze:
+                raise ValueError(
+                    "cached features cannot be used with "
+                    "freeze_backbone=False (fine-tuning must run the "
+                    "real backbone)")
+            emb = jax.lax.stop_gradient(batch["features"])
+        elif freeze:
             emb = jax.lax.stop_gradient(
                 model.embed_frames(variables, clips))
         else:

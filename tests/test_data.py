@@ -35,6 +35,43 @@ class TestOMG:
         # utterance-level labels broadcast over time
         assert (b["labels"][0] == b["labels"][0][0]).all()
 
+    def test_cached_feature_sidecars(self, tmp_path):
+        """.feat.npy sidecars (FeatureExtractor output naming) surface
+        as a window-aligned 'features' batch key."""
+        root = str(tmp_path / "omgf")
+        manifest = datasets.make_synthetic_omg(root, n_videos=1,
+                                               n_utts=2, frames=12,
+                                               size=32)
+        f = 8
+        for u in range(2):
+            base = os.path.join(root, "video0", f"utt{u}")
+            # row t encodes (utt, t) so window alignment is checkable
+            feats = np.stack([np.full(f, 100 * u + t, np.float32)
+                              for t in range(12)])
+            np.save(base + ".feat.npy", feats)
+        cfg = tiny_config(clip_len=8, stride=4)
+        ds = datasets.OMGEmotionDataset(root, manifest, cfg.clip)
+        batches = list(ds.batches(2))
+        for b in batches:
+            assert b["features"].shape == (2, 8, f)
+        # unshuffled order: clip j of utt u starts at 4*(j % 2)
+        first = batches[0]["features"]
+        np.testing.assert_allclose(first[0, :, 0], np.arange(8))
+        np.testing.assert_allclose(first[1, :, 0], 4 + np.arange(8))
+
+    def test_partial_sidecars_are_ignored(self, tmp_path):
+        """features key appears only when EVERY sequence has a sidecar
+        (a half-cached corpus must not silently mix random backbones)."""
+        root = str(tmp_path / "omgp")
+        manifest = datasets.make_synthetic_omg(root, n_videos=1,
+                                               n_utts=2, frames=12,
+                                               size=32)
+        np.save(os.path.join(root, "video0", "utt0.feat.npy"),
+                np.zeros((12, 8), np.float32))
+        cfg = tiny_config(clip_len=8, stride=4)
+        ds = datasets.OMGEmotionDataset(root, manifest, cfg.clip)
+        assert "features" not in next(ds.batches(2))
+
     def test_process_sharded_batches_disjoint(self, omg):
         """Per-host input pipeline: the same shuffled index is split
         into disjoint slices whose union covers every clip."""

@@ -153,6 +153,41 @@ class TestTrainStep:
                                            atol=1e-5,
                                            err_msg=f"axis={axis} {k}")
 
+    def test_cached_features_match_frozen_backbone(self, setup):
+        """Training from cached .feat.npy appearance features (the
+        reference's actual workflow — SURVEY.md §3.2/3.3) produces the
+        same loss/grads as running the frozen backbone in-graph."""
+        model, state, tx, step = setup
+        batch = _batch(seed=11)
+        variables = train.variables_from_state(state)
+        feats = model.embed_frames(variables, batch["clips"])
+        cached = dict(batch, features=jnp.asarray(feats))
+        s1, m1 = step(jax.tree_util.tree_map(jnp.copy, state), batch)
+        s2, m2 = step(jax.tree_util.tree_map(jnp.copy, state), cached)
+        # small fp slack: the cached features come from a separately
+        # jitted program, so fusion differences shift last bits
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+    def test_cached_features_reject_finetuning(self):
+        import dataclasses
+        from mimamo_tpu.config import TrainSpec
+        cfg = dataclasses.replace(
+            tiny_config(), train=TrainSpec(freeze_backbone=False,
+                                           remat_backbone=False))
+        model = Mimamo(cfg)
+        state, tx = train.create_train_state(model, jax.random.PRNGKey(9))
+        step = train.make_train_step(model, tx)
+        batch = _batch(seed=12)
+        batch["features"] = jnp.zeros(
+            (2, 6, cfg.backbone.feature_dim), jnp.float32)
+        with pytest.raises(ValueError, match="freeze_backbone"):
+            step(state, batch)
+
     def test_metrics_reported(self, setup):
         model, state, tx, step = setup
         _, metrics = step(jax.tree_util.tree_map(jnp.copy, state), _batch())
