@@ -54,7 +54,6 @@ class VideoProcessor:
         ``cropped_aligned`` role) from eye landmarks (priority: explicit
         file -> ``<video>.landmarks.npy`` sidecar -> built-in tracker);
         the landmarks used are saved next to the crops for provenance."""
-        import jax.numpy as jnp
         from . import preprocess
         frames, boxes = decode.load_video_with_boxes(
             video_path, boxes_path=boxes_path, max_frames=max_frames)
@@ -68,13 +67,14 @@ class VideoProcessor:
                     frames.astype(np.uint8), boxes)
             params = preprocess.similarity_from_eyes(landmarks,
                                                      self.save_size)
-            crops = np.asarray(self.model._align_video(
-                None, jnp.asarray(frames), jnp.asarray(params)))
             np.save(os.path.join(out_dir, name + ".landmarks.npy"),
                     landmarks)
         else:
-            crops = np.asarray(self.model._crop_video(
-                None, jnp.asarray(frames), jnp.asarray(boxes)))
+            landmarks, params = None, boxes
+        # chunked: a long full-resolution video must not land in HBM
+        # at once (see runner.crop_video_chunked)
+        crops = np.asarray(self.model.crop_video_chunked(
+            frames, params, align=landmarks is not None))
         out = os.path.join(out_dir, name + ".npy")
         np.save(out, np.clip(crops, 0, 255).astype(np.uint8))
         np.save(os.path.join(out_dir, name + ".boxes.npy"), boxes)
@@ -97,16 +97,25 @@ class FeatureExtractor:
         self.batch = batch_size
         self.variables = variables or jax.jit(
             self.model.init_variables)(jax.random.PRNGKey(0))
+        # One compiled program per batch (eager ops are minutes-per-op
+        # on the TPU tunnel — CLAUDE.md); fixed batch => one compile.
+        self._embed = jax.jit(
+            lambda v, x: self.model.embed_frames(v, x))
 
     def extract(self, crops_npy: str, out_path: Optional[str] = None
                 ) -> str:
         import jax.numpy as jnp
-        crops = np.load(crops_npy).astype(np.float32)
+        crops = np.load(crops_npy)          # uint8 feed; cast on device
+        t = len(crops)
         feats = []
-        for i in range(0, len(crops), self.batch):
-            piece = jnp.asarray(crops[i:i + self.batch])[None]
-            feats.append(np.asarray(
-                self.model.embed_frames(self.variables, piece))[0])
+        for i in range(0, t, self.batch):
+            piece = crops[i:i + self.batch]
+            pad = self.batch - piece.shape[0]
+            if pad:                         # static shape: pad the tail
+                piece = np.concatenate(
+                    [piece, np.repeat(piece[-1:], pad, axis=0)])
+            out = self._embed(self.variables, jnp.asarray(piece)[None])
+            feats.append(np.asarray(out)[0, :self.batch - pad])
         out_path = out_path or crops_npy.replace(".npy", ".feat.npy")
         np.save(out_path, np.concatenate(feats, axis=0))
         return out_path

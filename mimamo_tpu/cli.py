@@ -184,7 +184,10 @@ def cmd_train(args) -> int:
 
         def drain(limit):
             while len(pending) > limit:
-                for k, v in pending.pop(0).items():
+                # one host fetch for the whole metrics dict (per-key
+                # float() would pay one tunnel round-trip per metric)
+                fetched = jax.device_get(pending.pop(0))
+                for k, v in fetched.items():
                     agg[k] = agg.get(k, 0.0) + float(v)
 
         for batch in ds.batches(config.train.batch_size, shuffle=True,
@@ -248,12 +251,10 @@ def cmd_eval(args) -> int:
         state = checkpoints.restore(args.ckpt, state)
     variables = train.variables_from_state(state)
     ds = _dataset(args, config)
-    if args.dataset == "omg":
-        out = eval_mod.evaluate_omg(model, variables, ds,
-                                    chunk=config.clip.clip_len)
-    else:
-        out = eval_mod.evaluate_affwild2(model, variables, ds,
-                                         chunk=config.clip.clip_len)
+    fn = (eval_mod.evaluate_omg if args.dataset == "omg"
+          else eval_mod.evaluate_affwild2)
+    out = fn(model, variables, ds, chunk=config.clip.clip_len,
+             batch_streams=args.batch_streams)
     print(json.dumps(out))
     return 0
 
@@ -368,6 +369,9 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--root", required=True)
     p.add_argument("--manifest", default=None)
     p.add_argument("--ckpt", default=None)
+    p.add_argument("--batch-streams", type=int, default=8,
+                   help="sequences advanced together per device "
+                        "dispatch (batch-of-streams eval)")
     _add_common(p)
     p.set_defaults(fn=cmd_eval)
 

@@ -109,10 +109,22 @@ def _resolve_crops(base_without_ext: str,
     return CropSource(base_without_ext, crop_size)
 
 
-def _resolve_features(base_without_ext: str) -> Optional[str]:
-    """``<base>.feat.npy`` cached-feature sidecar, if present."""
+def _resolve_features(base_without_ext: str,
+                      n_frames: int) -> Optional[str]:
+    """``<base>.feat.npy`` cached-feature sidecar, if present.
+
+    Length is validated HERE (a stale/short sidecar must fail at
+    dataset construction, not as a mid-epoch crash on some shuffled
+    window — or worse, train silently on misaligned features)."""
     path = base_without_ext + ".feat.npy"
-    return path if os.path.exists(path) else None
+    if not os.path.exists(path):
+        return None
+    rows = int(np.load(path, mmap_mode="r").shape[0])
+    if rows != n_frames:
+        raise ValueError(
+            f"{path}: {rows} feature rows but {n_frames} crop frames — "
+            f"stale cache? re-run the feature extraction")
+    return path
 
 
 class _ClipDataset:
@@ -180,13 +192,7 @@ class _ClipDataset:
 
     def _load_features(self, ci: ClipIndex) -> np.ndarray:
         arr = np.load(self._features[ci.source], mmap_mode="r")
-        out = np.asarray(arr[ci.start:ci.start + self.clip.clip_len])
-        if out.shape[0] != self.clip.clip_len:
-            raise ValueError(
-                f"{self._features[ci.source]}: feature rows "
-                f"{arr.shape[0]} shorter than crops at window "
-                f"{ci.start}")
-        return out
+        return np.asarray(arr[ci.start:ci.start + self.clip.clip_len])
 
 
 class OMGEmotionDataset(_ClipDataset):
@@ -210,8 +216,9 @@ class OMGEmotionDataset(_ClipDataset):
         self._sources = []
         for video, utt, _v, _a in self.rows:
             base = os.path.join(root, video, utt)
-            self._sources.append(_resolve_crops(base, clip.crop_size))
-            self._features.append(_resolve_features(base))
+            src = _resolve_crops(base, clip.crop_size)
+            self._sources.append(src)
+            self._features.append(_resolve_features(base, len(src)))
         self._build_index([len(s) for s in self._sources])
 
     def _load(self, ci: ClipIndex):
@@ -265,7 +272,7 @@ class AffWild2Dataset(_ClipDataset):
                     f"{vid}: {len(src)} crops but {len(labels)} "
                     f"annotation rows")
             self._sources.append(src)
-            self._features.append(_resolve_features(base))
+            self._features.append(_resolve_features(base, len(src)))
             self._labels.append(labels)
             lengths.append(len(src))
         self._build_index(lengths)

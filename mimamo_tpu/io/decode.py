@@ -177,8 +177,12 @@ def face_boxes(frames_rgb: np.ndarray,
     last = _center_box(h, w)
     prev_gray = None
     for i in range(t):
+        # hold mode only needs gray on detection frames; lk needs every
+        # frame for the flow pyramid.
+        need_gray = (track == "lk"
+                     or (det is not None and i % detect_every == 0))
         gray = (cv2.cvtColor(frames_rgb[i], cv2.COLOR_RGB2GRAY)
-                if (track == "lk" or det is not None) else None)
+                if need_gray else None)
         detected = False
         if det is not None and i % detect_every == 0:
             m = min(h, w) // 8  # cv2 Size is (width, height); use min side
@@ -272,12 +276,13 @@ def load_landmarks(video_path: str, t: int,
         raise FileNotFoundError(
             f"landmarks file not found: {landmarks_path}")
     lm = np.load(landmarks_path).astype(np.float32)
-    if lm.shape != (t, 2, 2):
+    # Accept full-length sidecars for truncated (max_frames) runs.
+    if lm.ndim != 3 or lm.shape[1:] != (2, 2) or lm.shape[0] < t:
         raise ValueError(
-            f"{landmarks_path}: expected shape {(t, 2, 2)} "
+            f"{landmarks_path}: expected shape [>= {t}, 2, 2] "
             f"((left_y,left_x),(right_y,right_x)) per frame, got "
             f"{lm.shape}")
-    return lm
+    return lm[:t]
 
 
 def load_video_with_boxes(path: str,

@@ -175,9 +175,17 @@ def _mm2(x: jnp.ndarray, m_h: np.ndarray, m_w: np.ndarray) -> jnp.ndarray:
                       precision=jax.lax.Precision.HIGHEST)
 
 
+def on_default_tpu() -> bool:
+    """True when the default device is a TPU — including the axon PJRT
+    plugin, whose *platform* string is 'axon', not 'tpu' (matching on
+    jax.default_backend() alone misses the production hardware)."""
+    dev = jax.devices()[0]
+    return "tpu" in (dev.platform + " " + dev.device_kind).lower()
+
+
 def _use_matmul_fft(spec: PyramidSpec) -> bool:
     if spec.fft_mode == "auto":
-        return jax.default_backend() == "tpu"
+        return on_default_tpu()
     return spec.fft_mode == "matmul"
 
 

@@ -34,10 +34,7 @@ Variables = Dict[str, Any]
 Carries = Tuple[jnp.ndarray, jnp.ndarray]
 
 
-def _on_tpu() -> bool:
-    """True when the default backend is a TPU (incl. the axon plugin)."""
-    dev = jax.devices()[0]
-    return "tpu" in (dev.platform + " " + dev.device_kind).lower()
+from .pyramid import on_default_tpu as _on_tpu
 
 
 class Mimamo:
@@ -206,31 +203,10 @@ class Mimamo:
         if landmarks is not None:
             params = preprocess.similarity_from_eyes(landmarks,
                                                      cfg.crop_size)
-            crop_fn = self._align_video
         else:
             params = np.asarray(boxes, np.float32)
-            crop_fn = self._crop_video
-        # Chunk the crop stage: a full decoded video at source resolution
-        # does not fit HBM (a 60 s 1080p clip is ~37 GB as f32). Fixed
-        # chunk size (padded tail) -> one compiled program per source
-        # resolution. Frames ship in their host dtype (uint8 from the
-        # decoder: 4x less tunnel/PCIe traffic than f32) and the crops
-        # stay on device — no host round-trip between crop and windows.
-        chunk = 64
-        t = frames_rgb.shape[0]
-        pieces = []
-        for s in range(0, t, chunk):
-            f = np.asarray(frames_rgb[s:s + chunk])
-            p = np.asarray(params[s:s + chunk])
-            n = f.shape[0]
-            if n < chunk:
-                f = np.concatenate(
-                    [f, np.repeat(f[-1:], chunk - n, axis=0)])
-                p = np.concatenate(
-                    [p, np.repeat(p[-1:], chunk - n, axis=0)])
-            out = crop_fn(variables, jnp.asarray(f), jnp.asarray(p))
-            pieces.append(out[:n])
-        crops = jnp.concatenate(pieces, axis=0)
+        crops = self.crop_video_chunked(frames_rgb, params,
+                                        align=landmarks is not None)
         windows, starts = preprocess.sliding_windows(
             crops, cfg.clip_len, cfg.stride)
         preds = []
@@ -245,6 +221,37 @@ class Mimamo:
         preds = jnp.concatenate(preds, axis=0)
         return np.asarray(preprocess.merge_window_predictions(
             preds, starts, frames_rgb.shape[0]))
+
+    def crop_video_chunked(self, frames_rgb: np.ndarray,
+                           params: np.ndarray, align: bool = False,
+                           chunk: int = 64) -> jnp.ndarray:
+        """Host frames -> on-device crops, in fixed-size chunks.
+
+        A full decoded video at source resolution does not fit HBM (a
+        60 s 1080p clip is ~37 GB as f32), so the crop/align stage runs
+        chunk-by-chunk (padded tail -> one compiled program per source
+        resolution). Frames ship in their host dtype (uint8 from the
+        decoder: 4x less tunnel/PCIe traffic than f32); the [T, S, S, 3]
+        f32 crops stay on device.
+
+        ``params``: [T, 4] boxes, or [T, 2, 3] similarity transforms
+        with ``align=True``.
+        """
+        crop_fn = self._align_video if align else self._crop_video
+        t = frames_rgb.shape[0]
+        pieces = []
+        for s in range(0, t, chunk):
+            f = np.asarray(frames_rgb[s:s + chunk])
+            p = np.asarray(params[s:s + chunk])
+            n = f.shape[0]
+            if n < chunk:
+                f = np.concatenate(
+                    [f, np.repeat(f[-1:], chunk - n, axis=0)])
+                p = np.concatenate(
+                    [p, np.repeat(p[-1:], chunk - n, axis=0)])
+            out = crop_fn(None, jnp.asarray(f), jnp.asarray(p))
+            pieces.append(out[:n])
+        return jnp.concatenate(pieces, axis=0)
 
     @functools.partial(jax.jit, static_argnums=0)
     def _crop_video(self, variables: Variables, frames: jnp.ndarray,
