@@ -76,9 +76,21 @@ def main():
                                clips.astype(jnp.float32) + salt)
         return out
 
-    for i in range(args.warmup):
-        np.asarray(step(variables, clips, np.float32(1000 + i)))
-        vlog(f"warmup {i} done")
+    def warm():
+        for i in range(args.warmup):
+            np.asarray(step(variables, clips, np.float32(1000 + i)))
+            vlog(f"warmup {i} done")
+
+    # The tunnel's remote compile occasionally fails/stalls transiently;
+    # one retry after a pause salvages the run (the executable is cached
+    # by then). Persistent failure still raises — no fake numbers.
+    try:
+        warm()
+    except Exception as e:  # noqa: BLE001 - single retry, then re-raise
+        print(f"[bench] warmup failed ({type(e).__name__}: {e}); "
+              f"retrying in 60s", file=sys.stderr, flush=True)
+        time.sleep(60)
+        warm()
 
     # Depth-2 pipeline: keep exactly one execution in flight while
     # fetching the previous result — hides the tunnel's ~22 ms dispatch+

@@ -149,11 +149,15 @@ class MimamoAPI:
                 boxes_path: Optional[str] = None,
                 max_frames: Optional[int] = None,
                 align: bool = False,
-                landmarks_path: Optional[str] = None) -> np.ndarray:
+                landmarks_path: Optional[str] = None,
+                smooth: int = 1) -> np.ndarray:
         """``align=True`` similarity-aligns crops from eye landmarks
         (the OpenFace role). Landmark priority: explicit
         ``landmarks_path`` -> ``<video>.landmarks.npy`` sidecar (from a
-        stronger external tracker) -> built-in Haar eye tracker."""
+        stronger external tracker) -> built-in Haar eye tracker.
+        ``smooth``: odd moving-average window over the output series
+        (the reference's postprocess smoothing — SURVEY.md §3.1; 1 =
+        off; overlap-averaged windows already smooth seams)."""
         frames, boxes = decode.load_video_with_boxes(
             video_path, boxes_path=boxes_path, max_frames=max_frames)
         landmarks = None
@@ -165,9 +169,23 @@ class MimamoAPI:
                     frames.astype(np.uint8), boxes)
         series = self.model.predict_video(self.variables, frames, boxes,
                                           landmarks=landmarks)
+        series = smooth_series(series, smooth)
         if out_csv:
             _write_csv(out_csv, series)
         return series
+
+
+def smooth_series(series: np.ndarray, window: int) -> np.ndarray:
+    """Edge-padded moving average over the time axis of [T, D]."""
+    if window <= 1:
+        return series
+    if window % 2 == 0:
+        raise ValueError(f"smooth window must be odd, got {window}")
+    pad = window // 2
+    padded = np.pad(series, ((pad, pad), (0, 0)), mode="edge")
+    kernel = np.ones(window) / window
+    return np.stack([np.convolve(padded[:, d], kernel, mode="valid")
+                     for d in range(series.shape[1])], axis=-1)
 
 
 def _write_csv(path: str, series: np.ndarray) -> None:

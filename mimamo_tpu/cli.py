@@ -71,7 +71,8 @@ def cmd_predict(args) -> int:
     series = api.predict(args.video, out_csv=args.out,
                          boxes_path=args.boxes,
                          max_frames=args.max_frames, align=args.align,
-                         landmarks_path=args.landmarks)
+                         landmarks_path=args.landmarks,
+                         smooth=args.smooth)
     print(json.dumps({"frames": len(series),
                       "valence_mean": float(series[:, 0].mean()),
                       "arousal_mean": float(series[:, 1].mean()),
@@ -316,6 +317,9 @@ def main(argv: Optional[list] = None) -> int:
                    help="precomputed eye-landmark .npy ([T, 2, 2] "
                         "(left_y,left_x),(right_y,right_x) source "
                         "pixels); implies --align")
+    p.add_argument("--smooth", type=int, default=1,
+                   help="odd moving-average window over the output "
+                        "series (reference postprocess; 1 = off)")
     _add_common(p)
     p.set_defaults(fn=cmd_predict)
 

@@ -269,6 +269,21 @@ class TestImageDirLayout:
             datasets.CropSource(str(tmp_path / "nope.npy"))
 
 
+class TestSmoothing:
+    def test_moving_average_properties(self):
+        from mimamo_tpu.api import smooth_series
+        rng = np.random.default_rng(0)
+        s = rng.standard_normal((20, 2))
+        out = smooth_series(s, 5)
+        assert out.shape == s.shape
+        np.testing.assert_allclose(out[10], s[8:13].mean(0))  # interior
+        np.testing.assert_allclose(smooth_series(np.ones((8, 2)), 3),
+                                   1.0)                       # constant
+        np.testing.assert_array_equal(smooth_series(s, 1), s)  # off
+        with pytest.raises(ValueError, match="odd"):
+            smooth_series(s, 4)
+
+
 class TestCCCNp:
     def test_matches_jax_ccc(self):
         from mimamo_tpu import losses
