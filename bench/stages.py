@@ -90,6 +90,16 @@ def main():
         lambda c, salt: micro_motion_features(
             preprocess.to_grayscale(c + salt), cfg.pyramid, cfg.phase),
         clips, frames_per_step=fpstep)
+    # FFT-dispatch comparison (not added to the total): XLA FFT vs the
+    # MXU matmul-DFT path, explicitly forced either way.
+    import dataclasses
+    for mode in ("fft", "matmul"):
+        pyr = dataclasses.replace(cfg.pyramid, fft_mode=mode)
+        stage(
+            f"phase/fft_mode={mode}",
+            lambda c, salt, _p=pyr: micro_motion_features(
+                preprocess.to_grayscale(c + salt), _p, cfg.phase),
+            clips, frames_per_step=fpstep)
     total += stage(
         "backbone",
         lambda c, salt: model.embed_frames(variables, c + salt),
