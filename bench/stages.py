@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--trace", default=None,
                     help="jax.profiler trace output dir")
+    ap.add_argument("--chain", type=int, default=1,
+                    help="salted applications of each stage chained inside "
+                         "ONE jitted call; amortizes the ~22 ms tunnel "
+                         "dispatch+fetch floor that otherwise dominates "
+                         "sub-25ms stages (sec_per_step is per application)")
     args = ap.parse_args()
 
     import jax
@@ -63,8 +68,16 @@ def main():
 
     def stage(name, fn, *inputs, frames_per_step):
         # jnp.sum keeps the fetched payload tiny; the salt defeats the
-        # tunnel's identical-args execution cache.
-        jitted = jax.jit(lambda salt, *xs: jnp.sum(fn(*xs, salt)))
+        # tunnel's identical-args execution cache. With --chain k, the
+        # stage runs k times (distinct salts -> no CSE) inside one
+        # program, so the per-application time sheds the fetch floor.
+        k = args.chain
+
+        def chained(salt, *xs):
+            return sum(jnp.sum(fn(*xs, salt + 17.0 * i))
+                       for i in range(k))
+
+        jitted = jax.jit(chained)
         float(jitted(np.float32(999), *inputs))        # compile+warm
         t0 = time.perf_counter()
         pending = jitted(np.float32(0), *inputs)
@@ -73,7 +86,7 @@ def main():
             float(pending)
             pending = nxt
         float(pending)
-        dt = (time.perf_counter() - t0) / args.iters
+        dt = (time.perf_counter() - t0) / (args.iters * k)
         print(json.dumps({
             "stage": name, "sec_per_step": round(dt, 5),
             "frames_per_sec": round(frames_per_step / dt, 1)}))
@@ -118,6 +131,22 @@ def main():
         lambda x, salt: model.backbone_fused.apply(fused_vars,
                                                    x + salt)[0],
         imgs224, frames_per_step=fpstep)
+    # conv1 (7x7/2 on 3 channels) in isolation: the classic low-MXU-
+    # occupancy stem — decides whether a space-to-depth stem pays.
+    import flax.linen as nn
+    c1k = fused_vars["params"]["conv1"]["kernel"].astype(jnp.bfloat16)
+    c1b = fused_vars["params"]["conv1"]["bias"].astype(jnp.bfloat16)
+
+    def conv1_pool(x, salt):
+        y = jax.lax.conv_general_dilated(
+            (x + salt).astype(jnp.bfloat16), c1k, (2, 2),
+            [(3, 3), (3, 3)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = nn.relu(y + c1b)
+        return nn.max_pool(y, (3, 3), strides=(2, 2),
+                           padding=((1, 1), (1, 1)))
+
+    stage("backbone/conv1_pool_224", conv1_pool, imgs224,
+          frames_per_step=fpstep)
 
     p = cfg.phase.phase_size
     phase_in = jax.device_put(jnp.asarray(rng.standard_normal(

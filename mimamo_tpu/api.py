@@ -51,9 +51,11 @@ class VideoProcessor:
                 align: bool = False,
                 landmarks_path: Optional[str] = None) -> str:
         """``align=True`` writes similarity-ALIGNED crops (OpenFace's
-        ``cropped_aligned`` role) from eye landmarks (priority: explicit
-        file -> ``<video>.landmarks.npy`` sidecar -> built-in tracker);
-        the landmarks used are saved next to the crops for provenance."""
+        ``cropped_aligned`` role) from landmarks (priority: explicit
+        file -> ``<video>.landmarks.npy`` / ``<video>.openface.csv``
+        sidecar -> built-in tracker). Dense (68-point) landmark sets get
+        the Procrustes fit, eye pairs the 2-point fit; the landmarks
+        used are saved next to the crops for provenance."""
         from . import preprocess
         frames, boxes = decode.load_video_with_boxes(
             video_path, boxes_path=boxes_path, max_frames=max_frames)
@@ -65,8 +67,8 @@ class VideoProcessor:
             if landmarks is None:
                 landmarks = decode.eye_landmarks(
                     frames.astype(np.uint8), boxes)
-            params = preprocess.similarity_from_eyes(landmarks,
-                                                     self.save_size)
+            params = preprocess.similarity_from_landmarks(landmarks,
+                                                          self.save_size)
             np.save(os.path.join(out_dir, name + ".landmarks.npy"),
                     landmarks)
         else:
@@ -151,10 +153,11 @@ class MimamoAPI:
                 align: bool = False,
                 landmarks_path: Optional[str] = None,
                 smooth: int = 1) -> np.ndarray:
-        """``align=True`` similarity-aligns crops from eye landmarks
+        """``align=True`` similarity-aligns crops from landmarks
         (the OpenFace role). Landmark priority: explicit
-        ``landmarks_path`` -> ``<video>.landmarks.npy`` sidecar (from a
-        stronger external tracker) -> built-in Haar eye tracker.
+        ``landmarks_path`` (.npy or raw OpenFace .csv) ->
+        ``<video>.landmarks.npy`` / ``<video>.openface.csv`` sidecar ->
+        built-in Haar eye tracker; 68-point sets use the Procrustes fit.
         ``smooth``: odd moving-average window over the output series
         (the reference's postprocess smoothing — SURVEY.md §3.1; 1 =
         off; overlap-averaged windows already smooth seams)."""

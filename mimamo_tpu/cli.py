@@ -309,14 +309,16 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--ckpt", default=None, help="orbax checkpoint dir")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--align", action="store_true",
-                   help="similarity-align crops from eye landmarks "
+                   help="similarity-align crops from landmarks "
                         "(OpenFace-style) instead of box crops; uses "
-                        "<video>.landmarks.npy when present, else the "
-                        "built-in Haar eye tracker")
+                        "<video>.landmarks.npy or <video>.openface.csv "
+                        "when present, else the built-in Haar eye "
+                        "tracker")
     p.add_argument("--landmarks", default=None,
-                   help="precomputed eye-landmark .npy ([T, 2, 2] "
-                        "(left_y,left_x),(right_y,right_x) source "
-                        "pixels); implies --align")
+                   help="precomputed landmarks: .npy ([T, 2, 2] eye "
+                        "points or [T, 68, 2] dense, (y, x) source "
+                        "pixels) or a raw OpenFace FeatureExtraction "
+                        ".csv; implies --align")
     p.add_argument("--smooth", type=int, default=1,
                    help="odd moving-average window over the output "
                         "series (reference postprocess; 1 = off)")
@@ -331,7 +333,8 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--align", action="store_true",
                    help="write similarity-aligned crops (OpenFace role)")
     p.add_argument("--landmarks", default=None,
-                   help="precomputed [T, 2, 2] eye-landmark .npy; "
+                   help="precomputed landmark .npy ([T, 2, 2] eyes or "
+                        "[T, 68, 2] dense) or OpenFace .csv; "
                         "implies --align")
     p.add_argument("--ckpt", default=None,
                    help="orbax checkpoint for backbone weights (without "

@@ -260,27 +260,41 @@ def load_landmarks(video_path: str, t: int,
                    ) -> Optional[np.ndarray]:
     """Precomputed eye landmarks for a video, if available.
 
-    File contract (documented for external trackers — SURVEY.md §7 hard
-    part 4): ``<video>.landmarks.npy`` holding float [T, 2, 2] =
-    per-frame ((left_y, left_x), (right_y, right_x)) in source pixels.
-    An explicit ``landmarks_path`` must exist; without one, the default
-    sidecar path is probed and None returned when absent (callers then
-    fall back to the built-in Haar eye tracker).
+    File contracts (documented for external trackers — SURVEY.md §7 hard
+    part 4):
+
+    * ``<video>.landmarks.npy`` — float [T, 2, 2] per-frame
+      ((left_y, left_x), (right_y, right_x)) eye points, or [T, K>=3, 2]
+      dense landmark sets, in source pixels.
+    * ``<video>.openface.csv`` (or any explicit ``.csv`` path) — raw
+      OpenFace ``FeatureExtraction`` output; parsed by
+      :mod:`mimamo_tpu.io.openface` into [T, 68, 2].
+
+    An explicit ``landmarks_path`` must exist; without one, the sidecar
+    paths are probed (npy first) and None returned when absent (callers
+    then fall back to the built-in Haar eye tracker).
     """
     if landmarks_path is None:
-        candidate = video_path + ".landmarks.npy"
-        if not os.path.exists(candidate):
+        for candidate in (video_path + ".landmarks.npy",
+                          video_path + ".openface.csv"):
+            if os.path.exists(candidate):
+                landmarks_path = candidate
+                break
+        else:
             return None
-        landmarks_path = candidate
     elif not os.path.exists(landmarks_path):
         raise FileNotFoundError(
             f"landmarks file not found: {landmarks_path}")
+    if landmarks_path.endswith(".csv"):
+        from .openface import read_landmarks_csv
+        lm, _success = read_landmarks_csv(landmarks_path, num_frames=t)
+        return lm
     lm = np.load(landmarks_path).astype(np.float32)
     # Accept full-length sidecars for truncated (max_frames) runs.
-    if lm.ndim != 3 or lm.shape[1:] != (2, 2) or lm.shape[0] < t:
+    if lm.ndim != 3 or lm.shape[-1] != 2 or lm.shape[0] < t:
         raise ValueError(
-            f"{landmarks_path}: expected shape [>= {t}, 2, 2] "
-            f"((left_y,left_x),(right_y,right_x)) per frame, got "
+            f"{landmarks_path}: expected shape [>= {t}, K, 2] "
+            f"(K=2 eye points or a dense landmark set) per frame, got "
             f"{lm.shape}")
     return lm[:t]
 

@@ -189,6 +189,103 @@ def similarity_from_eyes(eyes: np.ndarray, out_size: int,
     return out
 
 
+def _umeyama_fit(dst: np.ndarray, src: np.ndarray) -> np.ndarray:
+    """Least-squares similarity mapping ``dst`` points onto ``src``.
+
+    Complex-number form of the 2-D Procrustes/Umeyama fit (points as
+    y + i*x): minimizes sum |c*d + t - s|^2 over rotation+scale ``c`` and
+    translation ``t``. Returns the [2, 3] matrix A with
+    A @ (y, x, 1) ~= src — i.e. an *inverse map* in the
+    :func:`warp_similarity` convention when ``dst`` is in output pixels.
+    """
+    d = dst[:, 0] + 1j * dst[:, 1]
+    s = src[:, 0] + 1j * src[:, 1]
+    dm, sm = d.mean(), s.mean()
+    d0, s0 = d - dm, s - sm
+    denom = np.real(d0 @ d0.conj())
+    if denom < 1e-12:
+        raise ValueError("degenerate landmark set (all points coincide)")
+    c = (d0.conj() @ s0) / denom
+    t = sm - c * dm
+    a, b = c.real, c.imag
+    return np.asarray([[a, -b, t.real], [b, a, t.imag]], np.float64)
+
+
+def similarity_from_landmarks68(landmarks: np.ndarray, out_size: int,
+                                eye_y: float = 0.38, eye_dx: float = 0.28,
+                                template: Optional[np.ndarray] = None,
+                                gpa_iters: int = 3) -> np.ndarray:
+    """Per-frame similarity transforms from dense (68-point) landmarks.
+
+    The reference's OpenFace stage (SURVEY.md §2 "OpenFace") aligns faces
+    by a similarity transform fit to the full tracked landmark set — far
+    more stable than a 2-point eye fit under expression change, blinks,
+    and tracker jitter. Given ``landmarks`` [T, K>=3, 2] in (y, x) source
+    pixels:
+
+    1. ``template`` (the canonical shape, [K, 2]) defaults to the
+       generalized-Procrustes mean of the video's own landmarks — no
+       external model file needed; pass OpenFace's PDM mean shape for
+       exact reference framing.
+    2. The template is anchored into output pixels by the same eye
+       convention as :func:`similarity_from_eyes` (template eye centers
+       at (eye_y, 0.5 -/+ eye_dx) * out_size).
+    3. Each frame's transform is the least-squares similarity
+       (:func:`_umeyama_fit`) from the anchored template to that frame's
+       landmarks — an inverse map consumable by :func:`warp_similarity`.
+
+    Returns [T, 2, 3] float32.
+    """
+    from .io.openface import eyes_from_landmarks68
+    lm = np.asarray(landmarks, np.float64)
+    t, k = lm.shape[:2]
+    if template is None:
+        # generalized Procrustes mean of this video's shapes
+        mean = lm[0]
+        for _ in range(gpa_iters):
+            aligned = np.empty_like(lm)
+            for i in range(t):
+                a = _umeyama_fit(lm[i], mean)   # frame -> mean space
+                aligned[i] = lm[i] @ a[:, :2].T + a[:, 2]
+            mean = aligned.mean(axis=0)
+        template = mean
+    template = np.asarray(template, np.float64)
+    if template.shape != (k, 2):
+        raise ValueError(f"template shape {template.shape} != {(k, 2)}")
+
+    # anchor the template into output pixels via the eye convention
+    if k == 68:
+        eyes = eyes_from_landmarks68(template[None])[0]
+    else:  # generic landmark sets: anchor by extremal x at mid-height
+        order = np.argsort(template[:, 1])
+        eyes = np.stack([template[order[0]], template[order[-1]]])
+    a_m = similarity_from_eyes(eyes[None].astype(np.float32), out_size,
+                               eye_y=eye_y, eye_dx=eye_dx)[0]
+    # invert A_m (out px -> template space) to place template in out px
+    rot = np.asarray(a_m[:, :2], np.float64)
+    inv = np.linalg.inv(rot)
+    anchored = (template - a_m[:, 2]) @ inv.T
+
+    out = np.empty((t, 2, 3), np.float32)
+    for i in range(t):
+        out[i] = _umeyama_fit(anchored, lm[i]).astype(np.float32)
+    return out
+
+
+def similarity_from_landmarks(landmarks: np.ndarray, out_size: int,
+                              **kwargs) -> np.ndarray:
+    """Shape-dispatching alignment: [T, 2, 2] eye pairs go through the
+    2-point fit, [T, K>=3, 2] dense sets (e.g. OpenFace 68) through the
+    Procrustes fit."""
+    landmarks = np.asarray(landmarks)
+    if landmarks.ndim != 3 or landmarks.shape[-1] != 2:
+        raise ValueError(
+            f"landmarks must be [T, K, 2], got {landmarks.shape}")
+    if landmarks.shape[1] == 2:
+        return similarity_from_eyes(landmarks, out_size, **kwargs)
+    return similarity_from_landmarks68(landmarks, out_size, **kwargs)
+
+
 def warp_similarity(frames: jnp.ndarray, transforms: jnp.ndarray,
                     out_size: int) -> jnp.ndarray:
     """On-device aligned crops via inverse-map bilinear sampling.

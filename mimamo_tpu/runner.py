@@ -195,14 +195,15 @@ class Mimamo:
         sliding clip windows (clip_len/stride from config), batched clip
         inference, overlap-averaged back to per-frame outputs — the
         reference's ``API.predict`` equivalent (SURVEY.md §3.1) without
-        the disk round-trips. With ``landmarks`` ([T, 2, 2] eye points),
-        crops are similarity-*aligned* on device (the OpenFace role)
-        instead of axis-aligned box crops.
+        the disk round-trips. With ``landmarks`` ([T, 2, 2] eye points
+        or [T, K>=3, 2] dense sets, e.g. OpenFace 68), crops are
+        similarity-*aligned* on device (the OpenFace role) instead of
+        axis-aligned box crops.
         """
         cfg = self.config.clip
         if landmarks is not None:
-            params = preprocess.similarity_from_eyes(landmarks,
-                                                     cfg.crop_size)
+            params = preprocess.similarity_from_landmarks(landmarks,
+                                                          cfg.crop_size)
         else:
             params = np.asarray(boxes, np.float32)
         crops = self.crop_video_chunked(frames_rgb, params,

@@ -82,6 +82,184 @@ class TestWarpSimilarity:
         assert diff.mean() < 6.0, f"mean diff {diff.mean()}"
 
 
+class TestProcrustesAlignment:
+    @staticmethod
+    def _ring_landmarks(k=68):
+        """Synthetic face-ish landmark template: ellipse + eye clusters
+        at the iBUG eye indices so eyes_from_landmarks68 is meaningful."""
+        ang = np.linspace(0, 2 * np.pi, k, endpoint=False)
+        pts = np.stack([30 + 20 * np.sin(ang), 30 + 15 * np.cos(ang)],
+                       axis=-1)
+        pts[36:42] = [22.0, 22.0] + np.random.default_rng(0).normal(
+            0, 0.5, (6, 2))
+        pts[42:48] = [22.0, 38.0] + np.random.default_rng(1).normal(
+            0, 0.5, (6, 2))
+        return pts.astype(np.float64)
+
+    def test_umeyama_recovers_known_similarity(self):
+        dst = self._ring_landmarks()
+        th, s, ty, tx = 0.4, 1.7, 5.0, -3.0
+        rot = s * np.asarray([[np.cos(th), -np.sin(th)],
+                              [np.sin(th), np.cos(th)]])
+        src = dst @ rot.T + [ty, tx]
+        a = preprocess._umeyama_fit(dst, src)
+        np.testing.assert_allclose(a[:, :2], rot, atol=1e-9)
+        np.testing.assert_allclose(a[:, 2], [ty, tx], atol=1e-9)
+
+    def test_umeyama_degenerate_raises(self):
+        pts = np.ones((5, 2))
+        with np.testing.assert_raises(ValueError):
+            preprocess._umeyama_fit(pts, pts)
+
+    def test_dense_alignment_matches_eye_alignment_for_rigid_motion(self):
+        """For pure similarity motion of the landmarks, the Procrustes
+        transform maps the same source points to the same output spots
+        as the 2-eye fit (both place eye centers canonically)."""
+        base = self._ring_landmarks()
+        t = 4
+        lm = np.empty((t, 68, 2))
+        for i in range(t):
+            th = 0.1 * i
+            rot = (1 + 0.05 * i) * np.asarray(
+                [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+            lm[i] = base @ rot.T + [3.0 * i, -2.0 * i]
+        from mimamo_tpu.io.openface import eyes_from_landmarks68
+        a_dense = preprocess.similarity_from_landmarks68(lm, 48)
+        a_eyes = preprocess.similarity_from_eyes(
+            eyes_from_landmarks68(lm), 48)
+        # same inverse maps (up to fit tolerance): rigid motion keeps
+        # every frame's shape identical to the GPA mean
+        np.testing.assert_allclose(a_dense, a_eyes, atol=1e-3)
+
+    def test_dense_alignment_resists_landmark_jitter(self):
+        """Perturb ONE eye point hard: the 2-point fit swings, the
+        68-point fit barely moves — the stability OpenFace-style
+        alignment is for."""
+        base = self._ring_landmarks()
+        lm = np.stack([base, base.copy()])
+        lm[1, 37] += [6.0, 6.0]          # one corrupted eye landmark
+        a_dense = preprocess.similarity_from_landmarks68(lm, 48)
+        from mimamo_tpu.io.openface import eyes_from_landmarks68
+        a_eyes = preprocess.similarity_from_eyes(
+            eyes_from_landmarks68(lm), 48)
+        drift_dense = np.abs(a_dense[1] - a_dense[0]).max()
+        drift_eyes = np.abs(a_eyes[1] - a_eyes[0]).max()
+        assert drift_dense < 0.5 * drift_eyes, (
+            f"dense fit drift {drift_dense:.3f} not < half of eye-fit "
+            f"drift {drift_eyes:.3f}")
+
+    def test_dispatcher_shapes(self):
+        eyes = np.tile(np.asarray([[[20.0, 15.0], [20.0, 40.0]]],
+                                  np.float32), (2, 1, 1))
+        assert preprocess.similarity_from_landmarks(eyes, 32).shape == \
+            (2, 2, 3)
+        dense = np.tile(self._ring_landmarks()[None], (2, 1, 1))
+        assert preprocess.similarity_from_landmarks(dense, 32).shape == \
+            (2, 2, 3)
+        with np.testing.assert_raises(ValueError):
+            preprocess.similarity_from_landmarks(eyes[0], 32)
+
+
+class TestOpenFaceCSV:
+    @staticmethod
+    def _write_csv(path, rows, header=None):
+        if header is None:
+            header = (["frame", " face_id", " timestamp", " confidence",
+                       " success"]
+                      + [f" x_{i}" for i in range(68)]
+                      + [f" y_{i}" for i in range(68)])
+        with open(path, "w") as f:
+            f.write(",".join(header) + "\n")
+            for r in rows:
+                f.write(",".join(str(v) for v in r) + "\n")
+
+    @staticmethod
+    def _row(frame, conf, success, xs, ys, face_id=0):
+        return ([frame, face_id, frame / 25.0, conf, success]
+                + list(xs) + list(ys))
+
+    def test_parse_hold_last_and_best_face(self, tmp_path):
+        from mimamo_tpu.io import openface
+        path = str(tmp_path / "vid.openface.csv")
+        xs0, ys0 = np.arange(68) * 1.0, np.arange(68) * 2.0
+        xs1, ys1 = xs0 + 5, ys0 + 5
+        rows = [
+            self._row(1, 0.9, 1, xs0, ys0),
+            self._row(1, 0.5, 1, xs1, ys1, face_id=1),  # lower conf
+            self._row(2, 0.1, 0, xs1, ys1),             # failed
+            # frame 3 missing entirely
+            self._row(4, 0.8, 1, xs1, ys1),
+        ]
+        self._write_csv(path, rows)
+        lm, success = openface.read_landmarks_csv(path, num_frames=4)
+        assert lm.shape == (4, 68, 2)
+        np.testing.assert_allclose(lm[0, :, 1], xs0)   # best face kept
+        np.testing.assert_allclose(lm[0, :, 0], ys0)   # (y, x) order
+        np.testing.assert_allclose(lm[1], lm[0])        # hold-last
+        np.testing.assert_allclose(lm[2], lm[0])
+        np.testing.assert_allclose(lm[3, :, 1], xs1)
+        np.testing.assert_array_equal(success, [True, False, False, True])
+
+    def test_parse_backfills_before_first_success(self, tmp_path):
+        from mimamo_tpu.io import openface
+        path = str(tmp_path / "v.csv")
+        xs, ys = np.arange(68) * 1.0, np.arange(68) * 1.0
+        rows = [self._row(1, 0.0, 0, xs, ys),
+                self._row(2, 0.9, 1, xs + 3, ys + 3)]
+        self._write_csv(path, rows)
+        lm, success = openface.read_landmarks_csv(path)
+        np.testing.assert_allclose(lm[0], lm[1])
+        assert not success[0] and success[1]
+
+    def test_parse_errors(self, tmp_path):
+        from mimamo_tpu.io import openface
+        bad = str(tmp_path / "bad.csv")
+        with open(bad, "w") as f:
+            f.write("a,b,c\n1,2,3\n")
+        with np.testing.assert_raises(ValueError):
+            openface.read_landmarks_csv(bad)
+        nolm = str(tmp_path / "nolm.csv")
+        with open(nolm, "w") as f:
+            f.write("frame,success\n1,1\n")
+        with np.testing.assert_raises(ValueError):
+            openface.read_landmarks_csv(nolm)
+        allfail = str(tmp_path / "fail.csv")
+        xs, ys = np.arange(68) * 1.0, np.arange(68) * 1.0
+        self._write_csv(allfail, [self._row(1, 0.0, 0, xs, ys)])
+        with np.testing.assert_raises(ValueError):
+            openface.read_landmarks_csv(allfail)
+
+    def test_boxes_from_landmarks(self):
+        from mimamo_tpu.io import openface
+        lm = np.zeros((2, 68, 2), np.float32)
+        lm[:, :, 0] = np.linspace(10, 50, 68)     # y in 10..50
+        lm[:, :, 1] = np.linspace(20, 40, 68)     # x in 20..40
+        boxes = openface.boxes_from_landmarks68(lm, 100, 100, margin=0.25)
+        assert boxes.shape == (2, 4)
+        assert boxes[0, 2] == boxes[0, 3]          # squared
+        np.testing.assert_allclose(boxes[0, 2], 50.0, atol=1e-5)
+
+    def test_load_landmarks_csv_sidecar(self, tmp_path):
+        """decode.load_landmarks probes <video>.openface.csv and returns
+        dense landmarks that flow through predict_video."""
+        video = str(tmp_path / "clip.mp4")
+        xs, ys = 15 + np.arange(68) % 8 * 2.0, 10 + np.arange(68) // 8 * 3.0
+        self._write_csv(video + ".openface.csv",
+                        [self._row(i + 1, 0.9, 1, xs + i, ys) for i in
+                         range(6)])
+        lm = decode.load_landmarks(video, 6)
+        assert lm is not None and lm.shape == (6, 68, 2)
+        model = Mimamo(tiny_config())
+        variables = model.init_variables(jax.random.PRNGKey(0))
+        frames = np.random.default_rng(4).uniform(
+            0, 255, (6, 48, 64, 3)).astype(np.float32)
+        boxes = np.tile(np.asarray([[8.0, 16.0, 32.0, 32.0]], np.float32),
+                        (6, 1))
+        out = model.predict_video(variables, frames, boxes, landmarks=lm,
+                                  batch_clips=2)
+        assert out.shape == (6, 2) and np.all(np.isfinite(out))
+
+
 class TestBoxTracking:
     @staticmethod
     def _moving_square_clip(t=10, size=96, step=3):
