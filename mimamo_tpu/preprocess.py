@@ -133,7 +133,13 @@ def for_backbone(crops_rgb: jnp.ndarray, spec: BackboneSpec) -> jnp.ndarray:
     uses the fused interleave upscale; other ratios fall back to the
     matmul-form resize on the channel-last layout.
     """
-    x = crops_rgb.astype(jnp.float32)
+    # bf16 backbone: run the upscale + mean-sub chain in bf16 — the
+    # backbone rounds its input to bf16 at conv1 anyway (0..255 ints are
+    # exact in bf16; only interpolated fractions see one extra
+    # rounding), and it halves the HBM traffic of the 224x224
+    # materialization, the largest intermediate on the serving path.
+    work = (jnp.bfloat16 if spec.dtype == "bfloat16" else jnp.float32)
+    x = crops_rgb.astype(work)
     if x.shape[-2] != spec.input_size:
         if spec.input_size == 2 * x.shape[-2] == 2 * x.shape[-3]:
             x = upscale2x(x)
@@ -143,10 +149,11 @@ def for_backbone(crops_rgb: jnp.ndarray, spec: BackboneSpec) -> jnp.ndarray:
             prec = (jax.lax.Precision.HIGHEST if spec.dtype == "float32"
                     else jax.lax.Precision.DEFAULT)
             x = jnp.moveaxis(
-                resize_bilinear(jnp.moveaxis(x, -1, -3),
+                resize_bilinear(jnp.moveaxis(x.astype(jnp.float32), -1,
+                                             -3),
                                 (spec.input_size, spec.input_size),
-                                precision=prec), -3, -1)
-    mean = jnp.asarray(spec.mean_rgb, jnp.float32)
+                                precision=prec), -3, -1).astype(work)
+    mean = jnp.asarray(spec.mean_rgb, work)
     if spec.channel_order == "bgr":
         x = x[..., ::-1]
         mean = mean[::-1]

@@ -61,3 +61,53 @@ class TestFusedKernel:
         b = jnp.zeros((3, 8, 8), jnp.complex64)
         with np.testing.assert_raises(ValueError):
             phase_kernel.phase_diff_resize_blocked(a, b, interpret=True)
+
+
+class TestStemKernel:
+    """Fused upscale+conv1+pool stem (pallas/stem_kernel.py).
+
+    The kernel measured SLOWER than the fused XLA chain at the flagship
+    shape (negative result in BASELINE.md) and is not wired into the
+    model path, but it is kept as the exact in-VMEM formulation — these
+    tests pin its parity against the XLA reference chain, including the
+    conv zero-pad / upscale edge-clamp corners and the BGR fold.
+    """
+
+    @staticmethod
+    def _reference(crops, k7, b, spec):
+        import flax.linen as nn
+        from mimamo_tpu import preprocess
+        imgs = preprocess.for_backbone(crops, spec)
+        y = jax.lax.conv_general_dilated(
+            imgs.astype(jnp.float32), k7, (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return nn.max_pool(nn.relu(y + b), (3, 3), strides=(2, 2),
+                           padding=((1, 1), (1, 1)))
+
+    def test_matches_xla_chain_f32(self):
+        from mimamo_tpu.config import BackboneSpec
+        from mimamo_tpu.pallas import stem_kernel as sk
+        rng = np.random.default_rng(0)
+        crops = jnp.asarray(
+            rng.uniform(0, 255, (2, 112, 112, 3)).astype(np.float32))
+        k7 = jnp.asarray(
+            rng.normal(0, 0.05, (7, 7, 3, 64)).astype(np.float32))
+        b = jnp.asarray(rng.normal(0, 0.1, (64,)).astype(np.float32))
+        for order in ("rgb", "bgr"):
+            spec = BackboneSpec(dtype="float32", channel_order=order)
+            want = self._reference(crops, k7, b, spec)
+            w2, b2 = sk.prepare_stem_weights(k7, b, channel_order=order,
+                                             dtype=jnp.float32)
+            got = sk.stem_fused(
+                sk.prepare_stem_input(crops, spec.mean_rgb), w2, b2,
+                dtype=jnp.float32, interpret=True)
+            assert got.shape == (2, 56, 56, 64)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-3, rtol=0)
+
+    def test_rejects_wrong_shape(self):
+        from mimamo_tpu.pallas import stem_kernel as sk
+        with np.testing.assert_raises(ValueError):
+            sk.stem_fused(jnp.zeros((1, 3, 64, 64)),
+                          jnp.zeros((147, 64)), jnp.zeros((1, 64)),
+                          interpret=True)

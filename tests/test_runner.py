@@ -215,6 +215,27 @@ class TestPreprocess:
             jnp.moveaxis(x, -1, -3), (32, 32)), -3, -1))
         np.testing.assert_allclose(got, want, atol=1e-4, rtol=0)
 
+    def test_for_backbone_bf16_close_to_f32(self):
+        """The bf16 backbone profile runs the upscale + mean-sub chain
+        in bf16 (halved HBM traffic for the 224^2 materialization); its
+        output must stay within bf16 rounding of the f32 chain."""
+        import dataclasses
+        from mimamo_tpu.config import BackboneSpec
+        rng = np.random.default_rng(7)
+        crops = jnp.asarray(rng.integers(
+            0, 256, (2, 16, 16, 3)).astype(np.float32))
+        f32 = BackboneSpec(input_size=32, dtype="float32")
+        b16 = dataclasses.replace(f32, dtype="bfloat16")
+        a = np.asarray(preprocess.for_backbone(crops, f32))
+        b = np.asarray(preprocess.for_backbone(crops, b16),
+                       dtype=np.float32)
+        assert b.dtype == np.float32  # cast for comparison
+        # bf16 has ~2^-8 relative precision; values are O(255) and the
+        # chain rounds twice (upscale + mean-sub) -> grid step 1.0 near
+        # 255, worst observed ~1.7
+        np.testing.assert_allclose(b, a, atol=2.0, rtol=0)
+        assert preprocess.for_backbone(crops, b16).dtype == jnp.bfloat16
+
     def test_grayscale_bt601(self):
         x = jnp.zeros((1, 2, 2, 3)).at[..., 1].set(100.0)
         np.testing.assert_allclose(
