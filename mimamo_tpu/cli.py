@@ -132,14 +132,21 @@ def cmd_train(args) -> int:
         _config(args),
         train=TrainSpec(learning_rate=args.lr, batch_size=args.batch,
                         epochs=args.epochs, seed=args.seed,
-                        loss_axis=loss_axis))
+                        loss_axis=loss_axis,
+                        lr_schedule=args.lr_schedule,
+                        warmup_steps=args.warmup_steps,
+                        augment=args.augment,
+                        brightness_jitter=args.brightness_jitter))
     model = Mimamo(config)
     ds = _dataset(args, config)
     if len(ds) == 0:
         raise SystemExit("dataset produced 0 clips (too short sequences?)")
 
+    steps_per_epoch = len(ds) // config.train.batch_size
+    tx = train.make_optimizer(
+        config, total_steps=max(args.epochs * steps_per_epoch, 1))
     state, tx = train.create_train_state(model, jax.random.PRNGKey(
-        config.train.seed))
+        config.train.seed), tx=tx)
     if args.resume and checkpoints.latest_step(args.ckpt) is not None:
         state = checkpoints.restore(args.ckpt, state)
         print(f"resumed from step {int(np.asarray(state.step))}",
@@ -288,6 +295,27 @@ def cmd_predict_corpus(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Long-running JSON-lines serving daemon (see mimamo_tpu/serve.py).
+
+    Keeps the loaded weights and every compiled program warm across an
+    unbounded request sequence — the serving counterpart of the
+    reference's one-script-per-video demo (SURVEY.md §3.1).
+    """
+    _setup_backend(args)
+    import numpy as np
+    from . import serve
+    server = serve.Server(
+        config=_config(args), checkpoint_dir=args.ckpt,
+        capacity=args.capacity, chunk=args.chunk,
+        stream_dtype=np.uint8 if args.uint8_streams else np.float32,
+        warmup=not args.no_warmup)
+    print(json.dumps({"ready": True, "capacity": args.capacity,
+                      "chunk": args.chunk}), flush=True)
+    serve.run(server)
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
     cmd = [sys.executable, "bench.py", "--dtype", args.dtype,
@@ -350,6 +378,16 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--ckpt", default=None)
     p.add_argument("--log", default=None, help="metrics JSONL path")
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr-schedule", default="constant",
+                   choices=["constant", "cosine"],
+                   help="cosine = linear warmup + cosine decay over the "
+                        "whole run")
+    p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--augment", action="store_true",
+                   help="on-device per-clip random horizontal flip "
+                        "(online appearance stream only)")
+    p.add_argument("--brightness-jitter", type=float, default=0.0,
+                   help="per-clip brightness scale jitter j: [1-j, 1+j]")
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
@@ -398,6 +436,20 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--data-parallel", action="store_true")
     _add_common(p)
     p.set_defaults(fn=cmd_predict_corpus)
+
+    p = sub.add_parser(
+        "serve", help="JSON-lines serving daemon over stdin/stdout")
+    p.add_argument("--ckpt", default=None, help="orbax checkpoint dir")
+    p.add_argument("--capacity", type=int, default=8,
+                   help="concurrent stream slots")
+    p.add_argument("--chunk", type=int, default=16,
+                   help="frames per stream_feed chunk")
+    p.add_argument("--uint8-streams", action="store_true",
+                   help="ship stream chunks as uint8 (4x less transfer)")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip compiling the stream program at startup")
+    _add_common(p)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="throughput benchmark (bench.py)")
     _add_common(p)

@@ -119,10 +119,20 @@ class ClipSpec:
 class TrainSpec:
     learning_rate: float = 1e-4
     weight_decay: float = 0.0
+    # "constant" | "cosine" (linear warmup over warmup_steps, cosine
+    # decay to 0 over the run; needs total_steps at optimizer build).
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
     batch_size: int = 4          # clips per step per replica
     epochs: int = 20
     loss: str = "ccc"            # "ccc" | "ccc+mse"
     mse_weight: float = 0.0
+    # On-device augmentation inside the jitted train step (deterministic
+    # per step: rng folded from seed + state.step). Only valid when the
+    # appearance stream runs online — cached .feat.npy features cannot
+    # reflect an augmented crop, so augment + batch["features"] raises.
+    augment: bool = False            # per-clip random horizontal flip
+    brightness_jitter: float = 0.0   # per-clip scale in [1-j, 1+j]
     # CCC axis: "time" = per-clip over frames (frame-level labels, e.g.
     # Aff-Wild2); "batch" = over the clip batch using time-averaged
     # predictions (utterance-level labels, e.g. OMG — per-clip time-CCC

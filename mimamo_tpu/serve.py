@@ -1,0 +1,178 @@
+"""Long-running serving daemon: JSON-lines protocol over stdin/stdout.
+
+The reference has no serving story — one script invocation per video
+(SURVEY.md §3.1), paying OpenFace startup + model load + (on our side
+it would be) XLA compilation per video. This daemon keeps the process —
+and every compiled program — warm: load weights once, compile once,
+then serve an unbounded sequence of requests. JSON-lines over
+stdin/stdout keeps it transport-agnostic (wrap it in a socket/HTTP
+layer of your choice; nothing here depends on one) and trivially
+testable.
+
+Protocol (one JSON object per line; responses echo ``id`` if present):
+
+  {"cmd": "ping"}
+      -> {"ok": true, "capacity": C, "active_streams": {...}, ...}
+  {"cmd": "predict", "video": PATH, "align"?: bool, "landmarks"?: PATH,
+   "boxes"?: PATH, "max_frames"?: N, "smooth"?: K, "out_csv"?: PATH,
+   "series"?: bool}
+      -> {"ok": true, "frames": N, "valence_mean": ..,
+          "arousal_mean": .., "series"?: [[v, a], ...]}
+  {"cmd": "stream_open", "stream": NAME}
+      -> {"ok": true, "slot": i}          # claims a StreamingSession slot
+  {"cmd": "stream_feed", "stream": NAME, "crops": PATH.npy | "data": [...]}
+      -> {"ok": true, "values": [[v, a], ...]}   # one fixed-size chunk
+  {"cmd": "stream_close", "stream": NAME}
+      -> {"ok": true}
+  {"cmd": "shutdown"}
+      -> {"ok": true, "shutdown": true}    # then the loop exits
+
+Errors never kill the daemon: any failed request returns
+{"ok": false, "error": "..."} and the loop continues.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from typing import Any, Dict, Optional, TextIO
+
+import numpy as np
+
+from .config import MimamoConfig
+
+
+class Server:
+    """Request dispatcher; transport-independent (see :func:`run`)."""
+
+    def __init__(self, config: Optional[MimamoConfig] = None,
+                 variables: Optional[Dict[str, Any]] = None,
+                 checkpoint_dir: Optional[str] = None,
+                 capacity: int = 8, chunk: int = 16,
+                 stream_dtype=np.float32, warmup: bool = False):
+        from .api import MimamoAPI
+        from .streaming import StreamingSession
+        self.api = MimamoAPI(config=config, variables=variables,
+                             checkpoint_dir=checkpoint_dir)
+        self.session = StreamingSession(self.api.model, self.api.variables,
+                                        capacity=capacity, chunk=chunk,
+                                        dtype=stream_dtype)
+        self._streams: Dict[str, int] = {}   # user name -> slot
+        self._t0 = time.time()
+        self._served = 0
+        if warmup:
+            self._warmup()
+
+    def _warmup(self) -> None:
+        """Compile the streaming program before the first request."""
+        cfg = self.api.model.config.clip
+        slot = self.session.add_stream()
+        try:
+            z = np.zeros((self.session.chunk, cfg.crop_size,
+                          cfg.crop_size, 3), self.session.dtype)
+            self.session.feed({slot: z})
+        finally:
+            self.session.remove_stream(slot)
+
+    # -- dispatch -----------------------------------------------------------
+
+    def handle(self, req: Dict[str, Any]) -> Dict[str, Any]:
+        """One request -> one response dict (never raises)."""
+        rid = req.get("id")
+        try:
+            cmd = req.get("cmd")
+            fn = getattr(self, f"_cmd_{cmd}", None)
+            if not isinstance(cmd, str) or fn is None:
+                raise ValueError(f"unknown cmd {cmd!r}")
+            resp = fn(req)
+            resp.setdefault("ok", True)
+        except Exception as e:  # noqa: BLE001 — daemon must survive
+            resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+        if rid is not None:
+            resp["id"] = rid
+        self._served += 1
+        return resp
+
+    def _cmd_ping(self, req) -> Dict[str, Any]:
+        return {"capacity": self.session.capacity,
+                "chunk": self.session.chunk,
+                "active_streams": dict(self._streams),
+                "served": self._served,
+                "uptime_sec": round(time.time() - self._t0, 3)}
+
+    def _cmd_predict(self, req) -> Dict[str, Any]:
+        series = self.api.predict(
+            req["video"], out_csv=req.get("out_csv"),
+            boxes_path=req.get("boxes"),
+            max_frames=req.get("max_frames"),
+            align=bool(req.get("align", False)),
+            landmarks_path=req.get("landmarks"),
+            smooth=int(req.get("smooth", 1)))
+        resp = {"frames": int(series.shape[0]),
+                "valence_mean": float(series[:, 0].mean()),
+                "arousal_mean": float(series[:, 1].mean())}
+        if req.get("out_csv"):
+            resp["out_csv"] = req["out_csv"]
+        if req.get("series"):
+            resp["series"] = [[round(float(v), 6), round(float(a), 6)]
+                              for v, a in series]
+        return resp
+
+    def _cmd_stream_open(self, req) -> Dict[str, Any]:
+        name = req["stream"]
+        if name in self._streams:
+            raise ValueError(f"stream {name!r} already open")
+        slot = self.session.add_stream()
+        self._streams[name] = slot
+        return {"slot": slot}
+
+    def _cmd_stream_feed(self, req) -> Dict[str, Any]:
+        name = req["stream"]
+        if name not in self._streams:
+            raise ValueError(f"stream {name!r} is not open")
+        if "crops" in req:
+            frames = np.load(req["crops"])
+        elif "data" in req:
+            frames = np.asarray(req["data"], np.float32)
+        else:
+            raise ValueError("stream_feed needs 'crops' (npy path) "
+                             "or 'data' (inline array)")
+        slot = self._streams[name]
+        out = self.session.feed({slot: frames.astype(self.session.dtype)})
+        return {"values": [[round(float(v), 6), round(float(a), 6)]
+                           for v, a in out[slot]]}
+
+    def _cmd_stream_close(self, req) -> Dict[str, Any]:
+        name = req["stream"]
+        if name not in self._streams:
+            raise ValueError(f"stream {name!r} is not open")
+        self.session.remove_stream(self._streams.pop(name))
+        return {}
+
+    def _cmd_shutdown(self, req) -> Dict[str, Any]:
+        return {"shutdown": True}
+
+
+def run(server: Server, fin: Optional[TextIO] = None,
+        fout: Optional[TextIO] = None) -> None:
+    """Blocking serve loop: read JSON lines from ``fin``, write responses
+    to ``fout`` (defaults: stdin/stdout). Exits on EOF or shutdown."""
+    fin = fin or sys.stdin
+    fout = fout or sys.stdout
+    for line in fin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+            if not isinstance(req, dict):
+                raise ValueError("request must be a JSON object")
+        except ValueError as e:
+            resp = {"ok": False, "error": f"bad request line: {e}"}
+        else:
+            resp = server.handle(req)
+        fout.write(json.dumps(resp) + "\n")
+        fout.flush()
+        if resp.get("shutdown"):
+            break

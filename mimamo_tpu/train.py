@@ -49,10 +49,29 @@ def _join_variables(params, stats) -> Dict[str, Any]:
             for k in params}
 
 
-def make_optimizer(config: MimamoConfig) -> optax.GradientTransformation:
+def make_optimizer(config: MimamoConfig,
+                   total_steps: Optional[int] = None
+                   ) -> optax.GradientTransformation:
+    """Adam/AdamW with optional warmup-cosine schedule.
+
+    ``total_steps`` (epochs * steps-per-epoch) is required for the
+    cosine schedule; the CLI computes it from the dataset length.
+    """
     t = config.train
-    tx = (optax.adamw(t.learning_rate, weight_decay=t.weight_decay)
-          if t.weight_decay else optax.adam(t.learning_rate))
+    if t.lr_schedule == "cosine":
+        if not total_steps:
+            raise ValueError("lr_schedule='cosine' needs total_steps")
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=t.learning_rate,
+            warmup_steps=min(t.warmup_steps, max(total_steps - 1, 1)),
+            decay_steps=total_steps)
+    elif t.lr_schedule == "constant":
+        lr = (optax.linear_schedule(0.0, t.learning_rate, t.warmup_steps)
+              if t.warmup_steps else t.learning_rate)
+    else:
+        raise ValueError(f"unknown lr_schedule {t.lr_schedule!r}")
+    tx = (optax.adamw(lr, weight_decay=t.weight_decay)
+          if t.weight_decay else optax.adam(lr))
     if t.freeze_backbone:
         # Zero-out backbone updates; params stay exactly as loaded.
         def label(params):
@@ -89,10 +108,41 @@ def make_train_step(model: Mimamo, tx: optax.GradientTransformation
     """
     cfg = model.config
     freeze = cfg.train.freeze_backbone
+    augmenting = cfg.train.augment or cfg.train.brightness_jitter > 0
 
-    def loss_fn(params, batch_stats, batch):
+    def _augment(clips, step):
+        """On-device per-clip augmentation, deterministic in ``step``.
+
+        Horizontal flip (valence/arousal are flip-invariant) and a
+        brightness scale — both per CLIP, not per frame, so the
+        micro-motion stream sees temporally consistent crops.
+        """
+        rng = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed), step)
+        r_flip, r_bright = jax.random.split(rng)
+        b = clips.shape[0]
+        if cfg.train.augment:
+            flip = jax.random.bernoulli(r_flip, 0.5, (b,))
+            clips = jnp.where(flip[:, None, None, None, None],
+                              clips[:, :, :, ::-1, :], clips)
+        j = cfg.train.brightness_jitter
+        if j > 0:
+            scale = jax.random.uniform(r_bright, (b,), minval=1.0 - j,
+                                       maxval=1.0 + j)
+            clips = jnp.clip(clips * scale[:, None, None, None, None],
+                             0.0, 255.0)
+        return clips
+
+    def loss_fn(params, batch_stats, batch, step):
         variables = _join_variables(params, batch_stats)
         clips = batch["clips"]
+        if augmenting:
+            if "features" in batch:
+                raise ValueError(
+                    "augmentation requires the online appearance stream "
+                    "— cached features cannot reflect augmented crops "
+                    "(drop batch['features'] or disable augment/"
+                    "brightness_jitter)")
+            clips = _augment(clips.astype(jnp.float32), step)
         gray = preprocess.to_grayscale(clips)
         phase_stacks = micro_motion_features(gray, cfg.pyramid, cfg.phase)
         new_stats = dict(batch_stats)
@@ -161,7 +211,8 @@ def make_train_step(model: Mimamo, tx: optax.GradientTransformation
     @functools.partial(jax.jit, donate_argnums=0)
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         grads, (new_stats, metrics) = jax.grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
+                                   state.step)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(step=state.step + 1, params=new_params,

@@ -195,6 +195,72 @@ class TestTrainStep:
         assert all(np.isfinite(float(v)) for v in metrics.values())
 
 
+class TestAugmentAndSchedules:
+    @staticmethod
+    def _model(**train_kw):
+        import dataclasses
+        from mimamo_tpu.config import TrainSpec
+        cfg = tiny_config()
+        cfg = dataclasses.replace(cfg, train=TrainSpec(**train_kw))
+        return Mimamo(cfg)
+
+    def test_augment_changes_metrics_deterministically(self):
+        """Flip/jitter alter the step's loss vs un-augmented, and the
+        same (seed, step) reproduces bit-identical metrics."""
+        plain = self._model(epochs=1)
+        aug = self._model(epochs=1, augment=True, brightness_jitter=0.2)
+        state0, tx0 = train.create_train_state(plain,
+                                               jax.random.PRNGKey(0))
+        state1, tx1 = train.create_train_state(aug, jax.random.PRNGKey(0))
+        batch = _batch(seed=3)
+        _, m_plain = train.make_train_step(plain, tx0)(
+            jax.tree_util.tree_map(jnp.copy, state0), batch)
+        step_aug = train.make_train_step(aug, tx1)
+        _, m_aug = step_aug(
+            jax.tree_util.tree_map(jnp.copy, state1), batch)
+        _, m_aug2 = step_aug(
+            jax.tree_util.tree_map(jnp.copy, state1), batch)
+        assert float(m_aug["loss"]) != float(m_plain["loss"])
+        assert float(m_aug["loss"]) == float(m_aug2["loss"])
+        assert np.isfinite(float(m_aug["loss"]))
+
+    def test_augment_rejects_cached_features(self):
+        model = self._model(epochs=1, augment=True)
+        state, tx = train.create_train_state(model, jax.random.PRNGKey(0))
+        step = train.make_train_step(model, tx)
+        batch = _batch()
+        batch["features"] = jnp.zeros(
+            (2, 6, model.config.backbone.feature_dim))
+        with pytest.raises(ValueError, match="augmentation requires"):
+            step(state, batch)
+
+    def test_cosine_schedule_trains_and_requires_total_steps(self):
+        with pytest.raises(ValueError, match="total_steps"):
+            train.make_optimizer(
+                self._model(epochs=1, lr_schedule="cosine").config)
+        model = self._model(epochs=1, lr_schedule="cosine",
+                            warmup_steps=2)
+        tx = train.make_optimizer(model.config, total_steps=6)
+        state, tx = train.create_train_state(model, jax.random.PRNGKey(0),
+                                             tx=tx)
+        step = train.make_train_step(model, tx)
+        batch = _batch()
+        # warmup step 0 has lr=0: params must be unchanged
+        s1, m = step(jax.tree_util.tree_map(jnp.copy, state), batch)
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(s1.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for _ in range(5):
+            s1, m = step(s1, batch)
+        assert np.isfinite(float(m["loss"]))
+
+    def test_unknown_schedule_rejected(self):
+        with pytest.raises(ValueError, match="lr_schedule"):
+            train.make_optimizer(
+                self._model(epochs=1, lr_schedule="nope").config,
+                total_steps=5)
+
+
 class TestCheckpoints:
     def test_orbax_roundtrip(self, setup, tmp_path):
         model, state, tx, step = setup
