@@ -200,7 +200,8 @@ def cmd_train(args) -> int:
 
         for batch in ds.batches(config.train.batch_size, shuffle=True,
                                 seed=config.train.seed + epoch,
-                                drop_remainder=True):
+                                drop_remainder=True,
+                                stratify=loss_axis == "batch"):
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             if mesh is not None:
                 jb = parallel.shard_batch(

@@ -155,8 +155,8 @@ class _ClipDataset:
 
     def batches(self, batch_size: int, shuffle: bool = False,
                 seed: int = 0, drop_remainder: bool = False,
-                process_id: int = 0, process_count: int = 1
-                ) -> Iterator[Batch]:
+                process_id: int = 0, process_count: int = 1,
+                stratify: bool = False) -> Iterator[Batch]:
         """``process_id``/``process_count`` give each host process a
         disjoint interleaved slice of the (identically shuffled) clip
         index — the per-host input pipeline for multi-host data
@@ -164,10 +164,35 @@ class _ClipDataset:
         ``batch_size`` clips for its local devices, and the global batch
         is the concatenation across processes (assemble device arrays
         with ``jax.make_array_from_process_local_data`` on pod slices).
+
+        ``stratify=True`` interleaves clips round-robin across source
+        sequences (after shuffling), so consecutive clips — and hence
+        batches — span as many distinct sources as possible. This
+        matters for the utterance-level protocol (``loss_axis="batch"``,
+        OMG): a batch whose clips are windows of ONE utterance has zero
+        label variance, making the batch-CCC loss identically 1 and its
+        gradient uninformative. The train CLI enables it automatically
+        for that protocol.
         """
         order = np.arange(len(self._index))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
+        if stratify:
+            by_src: Dict[int, list] = {}
+            for j in order:
+                by_src.setdefault(self._index[j].source, []).append(j)
+            queues = list(by_src.values())   # shuffled within; insertion
+            if shuffle:                      # order of sources shuffled
+                np.random.default_rng(seed + 1).shuffle(queues)
+            interleaved, qi = [], 0
+            while queues:
+                qi %= len(queues)
+                interleaved.append(queues[qi].pop(0))
+                if queues[qi]:
+                    qi += 1
+                else:
+                    queues.pop(qi)
+            order = np.asarray(interleaved)
         if process_count > 1:
             if not 0 <= process_id < process_count:
                 raise ValueError(f"process_id {process_id} out of range "

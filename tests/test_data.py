@@ -90,6 +90,30 @@ class TestOMG:
         assert len(a) + len(b) == len(total) == 16
         assert sorted(a + b) == sorted(total)
 
+    def test_stratified_batches_span_sources(self, omg):
+        """Utterance-level protocol: stratify=True must never emit a
+        batch whose clips all come from one source (zero label variance
+        makes the batch-CCC loss degenerate) when more sources exist,
+        and must still cover every clip exactly once."""
+        ds, _ = omg
+        # 4 utterances x 4 windows; per-utterance labels are constant,
+        # so a batch's label set identifies its sources.
+        for seed in range(5):
+            seen = []
+            for b in ds.batches(2, shuffle=True, seed=seed,
+                                stratify=True):
+                labels = np.asarray(b["labels"][:, 0])
+                assert not np.allclose(labels[0], labels[1]), (
+                    f"seed {seed}: single-source batch {labels}")
+                seen.extend(map(tuple, labels.round(4)))
+            assert len(seen) == 16 and len(set(seen)) == 4
+        # determinism
+        a = [np.asarray(b["labels"]).sum() for b in
+             ds.batches(2, shuffle=True, seed=1, stratify=True)]
+        b = [np.asarray(b["labels"]).sum() for b in
+             ds.batches(2, shuffle=True, seed=1, stratify=True)]
+        assert a == b
+
     def test_shuffle_deterministic(self, omg):
         ds, _ = omg
         a = [b["labels"][0, 0, 0] for b in ds.batches(4, shuffle=True,
