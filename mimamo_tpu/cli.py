@@ -143,14 +143,26 @@ def cmd_train(args) -> int:
         raise SystemExit("dataset produced 0 clips (too short sequences?)")
 
     steps_per_epoch = len(ds) // config.train.batch_size
-    tx = train.make_optimizer(
-        config, total_steps=max(args.epochs * steps_per_epoch, 1))
+    planned_steps = max(args.epochs * steps_per_epoch, 1)
+    tx = train.make_optimizer(config, total_steps=planned_steps)
     state, tx = train.create_train_state(model, jax.random.PRNGKey(
         config.train.seed), tx=tx)
+    # Online appearance stream is mandatory under crop augmentation —
+    # cached .feat.npy embeddings cannot reflect augmented crops.
+    augmenting = args.augment or args.brightness_jitter > 0
     if args.resume and checkpoints.latest_step(args.ckpt) is not None:
         state = checkpoints.restore(args.ckpt, state)
-        print(f"resumed from step {int(np.asarray(state.step))}",
-              file=sys.stderr)
+        resumed = int(np.asarray(state.step))
+        print(f"resumed from step {resumed}", file=sys.stderr)
+        if resumed and config.train.lr_schedule == "cosine":
+            # The restored optimizer count is already at ``resumed``; a
+            # schedule sized only for this run's steps would spend the
+            # whole resumed run past its decay horizon at lr ~= 0.
+            # Re-span it over resumed + planned steps (the opt-state
+            # tree structure is schedule-independent, so the restored
+            # Adam moments stay valid).
+            tx = train.make_optimizer(
+                config, total_steps=resumed + planned_steps)
     step_fn = train.make_train_step(model, tx)
     mesh = parallel.make_mesh() if args.data_parallel else None
     if mesh is not None and config.train.batch_size % mesh.devices.size:
@@ -201,7 +213,8 @@ def cmd_train(args) -> int:
         for batch in ds.batches(config.train.batch_size, shuffle=True,
                                 seed=config.train.seed + epoch,
                                 drop_remainder=True,
-                                stratify=loss_axis == "batch"):
+                                stratify=loss_axis == "batch",
+                                features=not augmenting):
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             if mesh is not None:
                 jb = parallel.shard_batch(

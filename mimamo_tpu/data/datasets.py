@@ -156,7 +156,8 @@ class _ClipDataset:
     def batches(self, batch_size: int, shuffle: bool = False,
                 seed: int = 0, drop_remainder: bool = False,
                 process_id: int = 0, process_count: int = 1,
-                stratify: bool = False) -> Iterator[Batch]:
+                stratify: bool = False,
+                features: bool = True) -> Iterator[Batch]:
         """``process_id``/``process_count`` give each host process a
         disjoint interleaved slice of the (identically shuffled) clip
         index — the per-host input pipeline for multi-host data
@@ -177,28 +178,46 @@ class _ClipDataset:
         order = np.arange(len(self._index))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
+        if process_count > 1:
+            if not 0 <= process_id < process_count:
+                raise ValueError(f"process_id {process_id} out of range "
+                                 f"for {process_count}")
+            order = order[process_id::process_count]
         if stratify:
+            # AFTER the per-process split: a strided slice of a
+            # round-robin sequence is periodic and would hand each host
+            # a single source whenever gcd(sources, processes) > 1 —
+            # re-creating the degeneracy stratification exists to
+            # prevent. Each host stratifies its own (random) subset.
             by_src: Dict[int, list] = {}
             for j in order:
                 by_src.setdefault(self._index[j].source, []).append(j)
             queues = list(by_src.values())   # shuffled within; insertion
             if shuffle:                      # order of sources shuffled
                 np.random.default_rng(seed + 1).shuffle(queues)
-            interleaved, qi = [], 0
+            # Greedy most-remaining-first, never repeating the previous
+            # source while an alternative exists: plain round-robin
+            # clusters the majority source at the tail when per-source
+            # counts are uneven (always the case after a per-process
+            # split), re-creating single-source batches.
+            interleaved: list = []
+            prev = -1
             while queues:
-                qi %= len(queues)
-                interleaved.append(queues[qi].pop(0))
-                if queues[qi]:
-                    qi += 1
-                else:
-                    queues.pop(qi)
+                pick = max(
+                    (qi for qi in range(len(queues))
+                     if qi != prev or len(queues) == 1),
+                    key=lambda qi: (len(queues[qi]), -qi))
+                interleaved.append(queues[pick].pop(0))
+                if queues[pick]:
+                    prev = pick
+                else:       # source exhausted: no repeat possible
+                    queues.pop(pick)
+                    prev = -1
             order = np.asarray(interleaved)
-        if process_count > 1:
-            if not 0 <= process_id < process_count:
-                raise ValueError(f"process_id {process_id} out of range "
-                                 f"for {process_count}")
-            order = order[process_id::process_count]
-        with_feats = (len(self._features) > 0
+        # ``features=False`` skips cached .feat.npy attachment even when
+        # every sequence has a sidecar — needed when the appearance
+        # stream must run online (e.g. crop augmentation, fine-tuning).
+        with_feats = (features and len(self._features) > 0
                       and all(f is not None for f in self._features))
         for i in range(0, len(order), batch_size):
             sel = order[i:i + batch_size]

@@ -139,6 +139,11 @@ class Server:
             raise ValueError("stream_feed needs 'crops' (npy path) "
                              "or 'data' (inline array)")
         slot = self._streams[name]
+        if (np.issubdtype(self.session.dtype, np.integer)
+                and np.issubdtype(frames.dtype, np.floating)):
+            # round, don't truncate: a uint8 session must match a float
+            # session for clients sending non-integral pixel values
+            frames = np.clip(np.rint(frames), 0, 255)
         out = self.session.feed({slot: frames.astype(self.session.dtype)})
         return {"values": [[round(float(v), 6), round(float(a), 6)]
                            for v, a in out[slot]]}

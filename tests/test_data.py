@@ -114,6 +114,32 @@ class TestOMG:
              ds.batches(2, shuffle=True, seed=1, stratify=True)]
         assert a == b
 
+    def test_stratified_survives_process_split(self, omg):
+        """Stratification must apply AFTER the per-process slice: a
+        strided slice of a round-robin order is periodic and would give
+        each host one source when gcd(sources, hosts) > 1."""
+        ds, _ = omg   # 4 sources x 4 windows, 2 hosts -> gcd 2
+        for pid in (0, 1):
+            for b in ds.batches(2, shuffle=True, seed=2, stratify=True,
+                                process_id=pid, process_count=2):
+                labels = np.asarray(b["labels"][:, 0])
+                if len(labels) == 2:
+                    assert not np.allclose(labels[0], labels[1]), (
+                        f"host {pid} got a single-source batch")
+
+    def test_features_flag_skips_sidecars(self, tmp_path):
+        root = str(tmp_path / "omgf")
+        manifest = datasets.make_synthetic_omg(root, n_videos=1,
+                                               n_utts=2, frames=12,
+                                               size=32)
+        for u in range(2):
+            np.save(os.path.join(root, "video0", f"utt{u}.feat.npy"),
+                    np.zeros((12, 8), np.float32))
+        cfg = tiny_config(clip_len=8, stride=4)
+        ds = datasets.OMGEmotionDataset(root, manifest, cfg.clip)
+        assert "features" in next(ds.batches(2))
+        assert "features" not in next(ds.batches(2, features=False))
+
     def test_shuffle_deterministic(self, omg):
         ds, _ = omg
         a = [b["labels"][0, 0, 0] for b in ds.batches(4, shuffle=True,

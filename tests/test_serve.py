@@ -105,6 +105,23 @@ class TestDispatch:
                 server.handle({"cmd": "stream_close", "stream": n})
 
 
+class TestUint8Session:
+    def test_inline_floats_round_not_truncate(self):
+        """uint8 session: client float pixels must round — a 254.9 that
+        truncated to 254 would silently diverge from a float session."""
+        srv = serve.Server(config=tiny_config(), capacity=2, chunk=4,
+                           stream_dtype=np.uint8)
+        base = np.full((4, 32, 32, 3), 100.0, np.float32)
+        srv.handle({"cmd": "stream_open", "stream": "a"})
+        srv.handle({"cmd": "stream_open", "stream": "b"})
+        ra = srv.handle({"cmd": "stream_feed", "stream": "a",
+                         "data": (base + 0.9).tolist()})
+        rb = srv.handle({"cmd": "stream_feed", "stream": "b",
+                         "data": (base + 1.0).tolist()})
+        assert ra["ok"] and rb["ok"]
+        np.testing.assert_allclose(ra["values"], rb["values"])
+
+
 class TestRunLoop:
     def test_jsonl_loop(self, server):
         fin = io.StringIO(

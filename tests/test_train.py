@@ -254,6 +254,34 @@ class TestAugmentAndSchedules:
             s1, m = step(s1, batch)
         assert np.isfinite(float(m["loss"]))
 
+    def test_cosine_resume_respans_horizon(self):
+        """A cosine run resumed past its decay horizon would train at
+        lr ~= 0 forever; rebuilding the optimizer with total_steps =
+        resumed + planned (the CLI's --resume behavior) must keep the
+        restored opt_state valid AND produce non-zero updates."""
+        model = self._model(epochs=1, lr_schedule="cosine")
+        tx1 = train.make_optimizer(model.config, total_steps=3)
+        state, tx1 = train.create_train_state(model, jax.random.PRNGKey(0),
+                                              tx=tx1)
+        step1 = train.make_train_step(model, tx1)
+        batch = _batch()
+        for _ in range(3):
+            state, _ = step1(state, batch)
+        # past the horizon with the ORIGINAL tx: lr decayed to 0
+        frozen, _ = step1(jax.tree_util.tree_map(jnp.copy, state), batch)
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(frozen.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-7)
+        # re-spanned tx (structure-identical opt_state): updates resume
+        tx2 = train.make_optimizer(model.config, total_steps=3 + 3)
+        step2 = train.make_train_step(model, tx2)
+        resumed, _ = step2(jax.tree_util.tree_map(jnp.copy, state), batch)
+        tb = jax.tree_util.tree_leaves(state.params["temporal"])
+        ta = jax.tree_util.tree_leaves(resumed.params["temporal"])
+        assert any(float(jnp.abs(x - y).max()) > 1e-7
+                   for x, y in zip(tb, ta))
+
     def test_unknown_schedule_rejected(self):
         with pytest.raises(ValueError, match="lr_schedule"):
             train.make_optimizer(
