@@ -309,6 +309,66 @@ def cmd_predict_corpus(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    """Reference ``.pth`` checkpoints -> one orbax checkpoint dir.
+
+    The migration entry point for reference users (SURVEY.md §2
+    "Pretrained assets"): feed the FER+ backbone ``.pth`` and/or a
+    trained two-stream ``.pth``, get a checkpoint directory every other
+    subcommand accepts via ``--ckpt``. Foreign key schemas translate via
+    JSON rename/prefix maps (see docs/WEIGHTS.md); strict by default —
+    unmapped tensors are an error, not a silent random-init.
+    """
+    _setup_backend(args)
+    import jax
+    from . import checkpoints, train
+    from .runner import Mimamo
+
+    if not (args.backbone_pth or args.temporal_pth):
+        raise SystemExit("convert needs --backbone-pth and/or "
+                         "--temporal-pth")
+
+    def json_map(path):
+        if not path:
+            return None
+        with open(path) as f:
+            m = json.load(f)
+        if (not isinstance(m, dict)
+                or not all(isinstance(v, str) for v in m.values())):
+            raise SystemExit(f"{path}: expected a flat "
+                             f"{{source: canonical}} JSON object")
+        return m
+
+    config = _config(args)
+    model = Mimamo(config)
+    variables = dict(jax.jit(model.init_variables)(
+        jax.random.PRNGKey(0)))
+    report = {}
+    strict = not args.no_strict
+    if args.backbone_pth:
+        from .backbone import load_torch_state_dict
+        sd = checkpoints.load_pth(args.backbone_pth)
+        variables["backbone"] = load_torch_state_dict(
+            sd, rename=json_map(args.backbone_rename), strict=strict)
+        report["backbone_tensors"] = len(
+            jax.tree_util.tree_leaves(variables["backbone"]))
+    if args.temporal_pth:
+        sd = checkpoints.load_pth(args.temporal_pth)
+        overlay = checkpoints.load_temporal_state_dict(
+            sd, prefix_map=json_map(args.temporal_prefix_map),
+            spec=config.temporal, phase_size=config.phase.phase_size,
+            strict=strict)
+        variables["temporal"] = checkpoints.merge_variables(
+            variables["temporal"], overlay)
+        report["temporal_tensors"] = len(
+            jax.tree_util.tree_leaves(overlay))
+    state, _ = train.create_train_state(model, jax.random.PRNGKey(0),
+                                        variables=variables)
+    out = checkpoints.save(args.out, state, step=0)
+    print(json.dumps({**report, "out": out}))
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Long-running JSON-lines serving daemon (see mimamo_tpu/serve.py).
 
@@ -450,6 +510,25 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--data-parallel", action="store_true")
     _add_common(p)
     p.set_defaults(fn=cmd_predict_corpus)
+
+    p = sub.add_parser(
+        "convert",
+        help="reference .pth checkpoint(s) -> orbax checkpoint dir")
+    p.add_argument("--backbone-pth", default=None,
+                   help="ResNet-50 FER+ state_dict (.pth)")
+    p.add_argument("--backbone-rename", default=None,
+                   help="JSON {source: canonical-torchvision} name map "
+                        "for non-torchvision backbone schemas")
+    p.add_argument("--temporal-pth", default=None,
+                   help="two-stream (micro CNN + GRUs + heads) .pth")
+    p.add_argument("--temporal-prefix-map", default=None,
+                   help="JSON {source-prefix: canonical-prefix} map "
+                        "(see docs/WEIGHTS.md for the canonical schema)")
+    p.add_argument("--out", required=True, help="orbax checkpoint dir")
+    p.add_argument("--no-strict", action="store_true",
+                   help="skip unmapped tensors instead of erroring")
+    _add_common(p)
+    p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser(
         "serve", help="JSON-lines serving daemon over stdin/stdout")

@@ -472,6 +472,85 @@ class TestCheckpoints:
             checkpoints.load_temporal_state_dict(sd)  # no spec given
 
 
+class TestConvertCLI:
+    def test_convert_then_restore(self, tmp_path):
+        """cli convert: a canonical two-stream .pth becomes an orbax
+        checkpoint whose restored weights match the source tensors."""
+        import torch
+        from mimamo_tpu import cli
+        from mimamo_tpu.config import (MimamoConfig, PyramidSpec,
+                                       PhaseSpec, ClipSpec, BackboneSpec)
+        # the CLI's _config with these flags: default TemporalSpec dims
+        cfg = MimamoConfig(
+            pyramid=PyramidSpec(height=2, orientations=2,
+                                input_size=(32, 32)),
+            phase=PhaseSpec(phase_size=16),
+            backbone=BackboneSpec(input_size=32),
+            clip=ClipSpec(clip_len=8, stride=4, crop_size=32))
+        spec = cfg.temporal
+        torch.manual_seed(3)
+        h = spec.gru_hidden
+        cnn = _TorchMicroCNN(cfg.pyramid.height * 2,
+                             spec.micro_cnn_features,
+                             spec.micro_embed_dim, 16)
+        sd = {f"micro_cnn.{k}": v for k, v in cnn.state_dict().items()}
+        for stream, din in (("gru_micro", spec.micro_embed_dim),
+                            ("gru_macro", spec.macro_embed_dim)):
+            sd[f"{stream}.weight_ih_l0"] = torch.randn(3 * h, din)
+            sd[f"{stream}.weight_hh_l0"] = torch.randn(3 * h, h)
+            sd[f"{stream}.bias_ih_l0"] = torch.randn(3 * h)
+            sd[f"{stream}.bias_hh_l0"] = torch.randn(3 * h)
+        for name, (din, dout) in (
+                ("macro_proj", (cfg.backbone.feature_dim,
+                                spec.macro_embed_dim)),
+                ("fusion", (2 * h, spec.fusion_hidden)),
+                ("head", (spec.fusion_hidden, spec.num_outputs))):
+            lin = torch.nn.Linear(din, dout)
+            sd[f"{name}.weight"] = lin.weight.detach()
+            sd[f"{name}.bias"] = lin.bias.detach()
+        pth = str(tmp_path / "two_stream.pth")
+        torch.save(sd, pth)
+
+        ckpt = str(tmp_path / "ckpt")
+        rc = cli.main([
+            "convert", "--temporal-pth", pth, "--out", ckpt,
+            "--crop-size", "32", "--backbone-size", "32",
+            "--pyramid-height", "2", "--orientations", "2",
+            "--phase-size", "16", "--clip-len", "8", "--stride", "4",
+            "--cpu"])
+        assert rc == 0
+
+        model = Mimamo(cfg)
+        state, _ = train.create_train_state(model, jax.random.PRNGKey(9))
+        restored = checkpoints.restore(ckpt, state)
+        got = np.asarray(
+            restored.params["temporal"]["gru_micro"]["w_ih"])
+        np.testing.assert_allclose(
+            got, sd["gru_micro.weight_ih_l0"].numpy(), atol=1e-6)
+        got_head = np.asarray(
+            restored.params["temporal"]["head"]["kernel"])
+        np.testing.assert_allclose(got_head, sd["head.weight"].numpy().T,
+                                   atol=1e-6)
+
+    def test_convert_requires_some_input(self, tmp_path):
+        from mimamo_tpu import cli
+        with pytest.raises(SystemExit, match="convert needs"):
+            cli.main(["convert", "--out", str(tmp_path / "x"), "--cpu"])
+
+    def test_convert_rejects_bad_map_file(self, tmp_path):
+        import torch
+        from mimamo_tpu import cli
+        pth = str(tmp_path / "t.pth")
+        torch.save({"x.weight": torch.zeros(3)}, pth)
+        bad = str(tmp_path / "map.json")
+        with open(bad, "w") as f:
+            f.write('["not", "a", "dict"]')
+        with pytest.raises(SystemExit, match="expected a flat"):
+            cli.main(["convert", "--temporal-pth", pth,
+                      "--temporal-prefix-map", bad,
+                      "--out", str(tmp_path / "x"), "--cpu"])
+
+
 class _TorchMicroCNN:
     """torch mirror of temporal.MicroCNN, built lazily (import guard)."""
 
