@@ -1,0 +1,86 @@
+"""Serving-daemon client example: drive ``cli serve`` as a subprocess.
+
+Shows the JSON-lines protocol end to end (docs/SERVING.md §4): start
+the daemon, predict a whole video, run a live stream chunk-by-chunk,
+shut down. The same request/response framing works over any byte
+stream — swap the subprocess pipes for a socket to serve remotely.
+
+    python examples/serve_client.py [--cpu]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+class DaemonClient:
+    """Minimal blocking client over the daemon's stdin/stdout pipes."""
+
+    def __init__(self, extra_args=(), cwd=None):
+        self.proc = subprocess.Popen(
+            [sys.executable, "-m", "mimamo_tpu.cli", "serve",
+             *extra_args],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+            cwd=cwd)
+        banner = json.loads(self.proc.stdout.readline())
+        assert banner.get("ready"), banner
+
+    def request(self, **req):
+        self.proc.stdin.write(json.dumps(req) + "\n")
+        self.proc.stdin.flush()
+        return json.loads(self.proc.stdout.readline())
+
+    def close(self):
+        resp = self.request(cmd="shutdown")
+        self.proc.wait(timeout=60)
+        return resp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out-dir", default="/tmp/mimamo_serve_demo")
+    args = ap.parse_args()
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    from demo import synthesize_video
+    video = os.path.join(args.out_dir, "sample.mp4")
+    synthesize_video(video, frames=64)
+
+    # Small config so the demo compiles quickly; drop these flags (and
+    # add --ckpt) for the real model.
+    extra = ["--clip-len", "16", "--stride", "8", "--crop-size", "32",
+             "--backbone-size", "32", "--pyramid-height", "2",
+             "--phase-size", "16", "--chunk", "8", "--capacity", "4"]
+    if args.cpu:
+        extra.append("--cpu")
+    client = DaemonClient(extra, cwd=os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+
+    print("ping:", client.request(cmd="ping"))
+    r = client.request(cmd="predict", video=video,
+                       out_csv=os.path.join(args.out_dir, "preds.csv"))
+    print("predict:", json.dumps(r))
+
+    # live stream: feed fixed-size chunks of aligned crops
+    client.request(cmd="stream_open", stream="cam0")
+    rng = np.random.default_rng(0)
+    for chunk_idx in range(3):
+        crops = rng.uniform(0, 255, (8, 32, 32, 3))
+        r = client.request(cmd="stream_feed", stream="cam0",
+                           data=crops.tolist())
+        vals = np.asarray(r["values"])
+        print(f"chunk {chunk_idx}: v/a mean = "
+              f"{vals[:, 0].mean():+.3f} / {vals[:, 1].mean():+.3f}")
+    client.request(cmd="stream_close", stream="cam0")
+    print("shutdown:", client.close())
+
+
+if __name__ == "__main__":
+    main()
