@@ -32,6 +32,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="frames per snippet (1 = per-frame GRU steps)")
     p.add_argument("--gru-layers", type=int, default=1,
                    help="stacked GRU layers per stream")
+    p.add_argument("--streams", default="both",
+                   choices=["both", "micro", "macro"],
+                   help="stream ablation (paper baselines): micro-only "
+                        "skips the ResNet, macro-only skips the pyramid")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -49,7 +53,8 @@ def _config(args):
         backbone=BackboneSpec(input_size=args.backbone_size,
                               dtype=args.dtype),
         temporal=TemporalSpec(snippet_len=args.snippet_len,
-                              gru_layers=args.gru_layers),
+                              gru_layers=args.gru_layers,
+                              streams=args.streams),
         clip=ClipSpec(clip_len=args.clip_len, stride=args.stride,
                       crop_size=s))
 

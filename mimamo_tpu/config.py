@@ -84,6 +84,12 @@ class BackboneSpec:
 class TemporalSpec:
     """Two-stream GRU temporal model."""
 
+    # Stream ablations (the MIMAMO paper's results table compares the
+    # micro-only and macro-only baselines against the fused model):
+    # "both" | "micro" | "macro". Single-stream models create no
+    # parameters for (and never compute) the inactive stream — the
+    # runner skips the pyramid for "macro" and the ResNet for "micro".
+    streams: str = "both"
     micro_cnn_features: Tuple[int, ...] = (64, 128)  # conv widths
     micro_embed_dim: int = 256
     macro_embed_dim: int = 256   # projection of the 2048-d feature

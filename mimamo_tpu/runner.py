@@ -113,14 +113,20 @@ class Mimamo:
         """
         cfg = self.config
         crops_rgb = crops_rgb.astype(jnp.float32)
-        gray = preprocess.to_grayscale(crops_rgb)
-        phase_stacks = self._micro_motion(gray)
-        emb = self.embed_frames(variables, crops_rgb)
-        if include_first_pair:
-            emb = emb[:, 1:]
+        streams = cfg.temporal.streams
+        t = crops_rgb.shape[1] - (1 if include_first_pair else 0)
+        phase_stacks = emb = None
+        if streams in ("both", "micro"):
+            gray = preprocess.to_grayscale(crops_rgb)
+            phase_stacks = self._micro_motion(gray)
+        if streams in ("both", "macro"):
+            emb = self.embed_frames(variables, crops_rgb)
+            if include_first_pair:
+                emb = emb[:, 1:]
         return self.temporal.apply(variables["temporal"], phase_stacks,
                                    emb, carries,
-                                   first_pair_invalid=first_pair_invalid)
+                                   first_pair_invalid=first_pair_invalid,
+                                   num_frames=t)
 
     def _micro_motion(self, gray: jnp.ndarray) -> jnp.ndarray:
         """Micro-motion features, fused Pallas kernel when applicable.

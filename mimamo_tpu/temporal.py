@@ -172,11 +172,12 @@ class TwoStreamRNN(nn.Module):
     @nn.compact
     def __call__(
         self,
-        phase_stacks: jnp.ndarray,    # [B, T-1, C, P, P] phase-diff maps
-        rgb_feats: jnp.ndarray,       # [B, T, F] appearance embeddings
+        phase_stacks: Optional[jnp.ndarray],  # [B, T-1|T, C, P, P]
+        rgb_feats: Optional[jnp.ndarray],     # [B, T, F] appearance
         carries: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         train: bool = False,
         first_pair_invalid: Optional[jnp.ndarray] = None,
+        num_frames: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
         """Returns ([B, T, num_outputs] per-frame predictions, new carries).
 
@@ -187,58 +188,101 @@ class TwoStreamRNN(nn.Module):
         embedding per batch row in streaming (tm1 == t) mode — used by
         StreamingSession so a fresh stream's first step exactly matches
         clip mode's zero-padded first pair.
+
+        Stream ablations (``spec.streams``, the paper's micro-/macro-
+        only baselines): the inactive stream's input may be None, its
+        parameters are never created, and its carry passes through
+        unchanged (zeros when starting fresh) so the streaming carry
+        contract is identical across all three configurations.
+        ``num_frames`` is required only for ``streams="micro"`` (no
+        rgb_feats to infer T from) when the phase stacks hold T-1 pairs.
         """
         spec = self.spec
-        b, tm1 = phase_stacks.shape[0], phase_stacks.shape[1]
-        t = rgb_feats.shape[1]
+        use_micro = spec.streams in ("both", "micro")
+        use_macro = spec.streams in ("both", "macro")
+        if spec.streams not in ("both", "micro", "macro"):
+            raise ValueError(f"unknown streams {spec.streams!r}")
+        if use_micro and phase_stacks is None:
+            raise ValueError(f"streams={spec.streams!r} needs phase_stacks")
+        if use_macro and rgb_feats is None:
+            raise ValueError(f"streams={spec.streams!r} needs rgb_feats")
+        if use_macro:
+            b, t = rgb_feats.shape[0], rgb_feats.shape[1]
+        else:
+            b, tm1 = phase_stacks.shape[0], phase_stacks.shape[1]
+            t = num_frames if num_frames is not None else tm1 + 1
 
-        # Micro: fold time into batch for the CNN, NCHW -> NHWC.
-        pmaps = jnp.transpose(
-            phase_stacks.reshape((b * tm1,) + phase_stacks.shape[2:]),
-            (0, 2, 3, 1))
-        micro = MicroCNN(spec, name="micro_cnn")(pmaps, train=train)
-        micro = micro.reshape(b, tm1, -1)
-        if tm1 == t - 1:
-            # Align pair features to frames: frame 0 has no predecessor.
-            micro = jnp.pad(micro, ((0, 0), (1, 0), (0, 0)))
-        elif tm1 != t:
-            raise ValueError(f"phase stacks T-1={tm1} vs frames T={t}")
-        if first_pair_invalid is not None:
-            keep = 1.0 - first_pair_invalid.astype(micro.dtype)
-            micro = micro.at[:, 0].multiply(keep[:, None])
+        ys_list, w = [], spec.snippet_len
+        c_micro, c_macro = carries if carries is not None else (None, None)
+        h_micro, h_macro = c_micro, c_macro
 
-        macro = nn.Dense(spec.macro_embed_dim, name="macro_proj")(rgb_feats)
-        macro = nn.relu(macro)
-
-        w = spec.snippet_len
-        if w > 1:
-            # Snippet aggregation (paper structure): pool W-frame groups
-            # before the recurrences; one GRU step per snippet.
+        def pool_snippets(x):
+            if w <= 1:
+                return x
             if t % w:
                 raise ValueError(f"clip length {t} not divisible by "
                                  f"snippet_len {w}")
-            n = t // w
-            micro = jnp.mean(micro.reshape(b, n, w, -1), axis=2)
-            macro = jnp.mean(macro.reshape(b, n, w, -1), axis=2)
+            return jnp.mean(x.reshape(b, t // w, w, -1), axis=2)
 
-        c_micro, c_macro = carries if carries is not None else (None, None)
-        gru_micro = GRU(spec.gru_hidden, spec.gru_layers,
-                        in_dim=micro.shape[-1], name="gru_micro")
-        gru_macro = GRU(spec.gru_hidden, spec.gru_layers,
-                        in_dim=macro.shape[-1], name="gru_macro")
-        if spec.fused_gru:
-            # One lax.scan advances BOTH streams per step: the two
-            # recurrences are independent, so fusing them halves the
-            # sequential-matmul chain length (GRU wall time is latency-
-            # bound on TPU — tiny [B,H]x[H,3H] dots can't fill the MXU).
-            ys_micro, ys_macro, h_micro, h_macro = _dual_gru(
-                gru_micro, gru_macro, micro, macro, c_micro, c_macro,
-                spec.gru_layers, spec.gru_hidden)
+        micro = macro = None
+        if use_micro:
+            tm1 = phase_stacks.shape[1]
+            # Micro: fold time into batch for the CNN, NCHW -> NHWC.
+            pmaps = jnp.transpose(
+                phase_stacks.reshape((b * tm1,) + phase_stacks.shape[2:]),
+                (0, 2, 3, 1))
+            micro = MicroCNN(spec, name="micro_cnn")(pmaps, train=train)
+            micro = micro.reshape(b, tm1, -1)
+            if tm1 == t - 1:
+                # Align pair features to frames: frame 0 has no
+                # predecessor.
+                micro = jnp.pad(micro, ((0, 0), (1, 0), (0, 0)))
+            elif tm1 != t:
+                raise ValueError(f"phase stacks T-1={tm1} vs frames T={t}")
+            if first_pair_invalid is not None:
+                keep = 1.0 - first_pair_invalid.astype(micro.dtype)
+                micro = micro.at[:, 0].multiply(keep[:, None])
+            micro = pool_snippets(micro)
+        if use_macro:
+            macro = nn.Dense(spec.macro_embed_dim,
+                             name="macro_proj")(rgb_feats)
+            macro = pool_snippets(nn.relu(macro))
+
+        if use_micro and use_macro:
+            gru_micro = GRU(spec.gru_hidden, spec.gru_layers,
+                            in_dim=micro.shape[-1], name="gru_micro")
+            gru_macro = GRU(spec.gru_hidden, spec.gru_layers,
+                            in_dim=macro.shape[-1], name="gru_macro")
+            if spec.fused_gru:
+                # One lax.scan advances BOTH streams per step: the two
+                # recurrences are independent, so fusing them halves the
+                # sequential-matmul chain length (GRU wall time is
+                # latency-bound on TPU — tiny [B,H]x[H,3H] dots can't
+                # fill the MXU).
+                ys_micro, ys_macro, h_micro, h_macro = _dual_gru(
+                    gru_micro, gru_macro, micro, macro, c_micro, c_macro,
+                    spec.gru_layers, spec.gru_hidden)
+            else:
+                ys_micro, h_micro = gru_micro(micro, c_micro)
+                ys_macro, h_macro = gru_macro(macro, c_macro)
+            ys_list = [ys_micro, ys_macro]
+        elif use_micro:
+            ys, h_micro = GRU(spec.gru_hidden, spec.gru_layers,
+                              in_dim=micro.shape[-1],
+                              name="gru_micro")(micro, c_micro)
+            ys_list = [ys]
         else:
-            ys_micro, h_micro = gru_micro(micro, c_micro)
-            ys_macro, h_macro = gru_macro(macro, c_macro)
+            ys, h_macro = GRU(spec.gru_hidden, spec.gru_layers,
+                              in_dim=macro.shape[-1],
+                              name="gru_macro")(macro, c_macro)
+            ys_list = [ys]
+        if h_micro is None:
+            h_micro = init_carries(spec, b)[0]
+        if h_macro is None:
+            h_macro = init_carries(spec, b)[1]
 
-        fused = jnp.concatenate([ys_micro, ys_macro], axis=-1)
+        fused = (jnp.concatenate(ys_list, axis=-1) if len(ys_list) > 1
+                 else ys_list[0])
         fused = nn.relu(nn.Dense(spec.fusion_hidden, name="fusion")(fused))
         out = nn.Dense(spec.num_outputs, name="head")(fused)
         if spec.output_activation == "tanh":

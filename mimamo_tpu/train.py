@@ -143,10 +143,16 @@ def make_train_step(model: Mimamo, tx: optax.GradientTransformation
                     "(drop batch['features'] or disable augment/"
                     "brightness_jitter)")
             clips = _augment(clips.astype(jnp.float32), step)
-        gray = preprocess.to_grayscale(clips)
-        phase_stacks = micro_motion_features(gray, cfg.pyramid, cfg.phase)
+        streams = cfg.temporal.streams
+        phase_stacks = None
+        if streams in ("both", "micro"):
+            gray = preprocess.to_grayscale(clips)
+            phase_stacks = micro_motion_features(gray, cfg.pyramid,
+                                                 cfg.phase)
         new_stats = dict(batch_stats)
-        if "features" in batch:
+        if streams == "micro":
+            emb = None
+        elif "features" in batch:
             if not freeze:
                 raise ValueError(
                     "cached features cannot be used with "
@@ -177,7 +183,7 @@ def make_train_step(model: Mimamo, tx: optax.GradientTransformation
             new_stats["backbone"] = bstats
         (out, _), mutated = model.temporal.apply(
             variables["temporal"], phase_stacks, emb, train=True,
-            mutable=["batch_stats"])
+            num_frames=clips.shape[1], mutable=["batch_stats"])
         # Clip validity: all-padding clips (from pad_to_multiple for mesh
         # divisibility) must not contribute to the loss or metrics.
         clip_w = (jnp.sum(batch["mask"], axis=1) > 0).astype(jnp.float32)
@@ -204,7 +210,8 @@ def make_train_step(model: Mimamo, tx: optax.GradientTransformation
                     lambda p, y, m: ccc(p[:, d], y[:, d], mask=m))(
                     out, batch["labels"], batch["mask"])) / denom
                 for d in range(2)])
-        new_stats["temporal"] = mutated["batch_stats"]
+        # macro-only models have no BN in the temporal tree
+        new_stats["temporal"] = mutated.get("batch_stats", {})
         metrics = {"loss": loss, "ccc_v": ccc_vec[0], "ccc_a": ccc_vec[1]}
         return loss, (new_stats, metrics)
 

@@ -185,3 +185,67 @@ class TestTwoStream:
         leaves = jax.tree_util.tree_leaves(grads)
         assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
         assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
+class TestStreamAblations:
+    """Paper baselines: micro-only / macro-only (TemporalSpec.streams)."""
+
+    def _inputs(self, b=2, t=6, c=12, p=48, f=2048, seed=0):
+        rng = np.random.default_rng(seed)
+        phase = rng.standard_normal((b, t - 1, c, p, p)).astype(np.float32)
+        feats = rng.standard_normal((b, t, f)).astype(np.float32)
+        return jnp.asarray(phase), jnp.asarray(feats)
+
+    def test_micro_only_ignores_feats_and_has_no_macro_params(self):
+        spec = TemporalSpec(streams="micro")
+        phase, feats = self._inputs()
+        model = temporal.TwoStreamRNN(spec)
+        variables = model.init(jax.random.PRNGKey(0), phase, feats)
+        assert "macro_proj" not in variables["params"]
+        assert "gru_macro" not in variables["params"]
+        out1, (hm, hM) = model.apply(variables, phase, feats)
+        out2, _ = model.apply(variables, phase, None, num_frames=6)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+        assert out1.shape == (2, 6, 2)
+        assert hm.shape == hM.shape == (2, spec.gru_hidden)
+        np.testing.assert_allclose(np.asarray(hM), 0.0)  # passthrough
+
+    def test_macro_only_ignores_phase_and_has_no_micro_params(self):
+        spec = TemporalSpec(streams="macro")
+        phase, feats = self._inputs()
+        model = temporal.TwoStreamRNN(spec)
+        variables = model.init(jax.random.PRNGKey(0), phase, feats)
+        assert "micro_cnn" not in variables["params"]
+        assert "gru_micro" not in variables["params"]
+        out1, _ = model.apply(variables, phase, feats)
+        out2, _ = model.apply(variables, None, feats)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+        assert out1.shape == (2, 6, 2)
+
+    def test_missing_active_input_raises(self):
+        phase, feats = self._inputs()
+        for streams, args in (("micro", (None, feats)),
+                              ("macro", (phase, None)),
+                              ("both", (None, feats)),
+                              ("both", (phase, None))):
+            spec = TemporalSpec(streams=streams)
+            model = temporal.TwoStreamRNN(spec)
+            with np.testing.assert_raises(ValueError):
+                model.init(jax.random.PRNGKey(0), *args)
+
+    def test_streaming_matches_clip_single_stream(self):
+        for streams in ("micro", "macro"):
+            spec = TemporalSpec(streams=streams)
+            phase, feats = self._inputs(t=8)
+            model = temporal.TwoStreamRNN(spec)
+            variables = model.init(jax.random.PRNGKey(0), phase, feats)
+            full, _ = model.apply(variables, phase, feats)
+            k = 4
+            out1, car = model.apply(variables, phase[:, :k - 1],
+                                    feats[:, :k])
+            out2, _ = model.apply(variables, phase[:, k - 1:],
+                                  feats[:, k:], car,
+                                  num_frames=4)
+            got = jnp.concatenate([out1, out2], axis=1)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                                       atol=1e-5, err_msg=streams)
