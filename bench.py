@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--backbone-size", type=int, default=224,
                     help="224 = reference parity (crops upscaled); 112 = "
                          "fast profile (native crop resolution, ~1.5x)")
+    ap.add_argument("--streams", default="both",
+                    choices=["both", "micro", "macro"],
+                    help="stream ablation (micro-only skips the ResNet)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--verbose", action="store_true",
                     help="print stage timings to stderr")
@@ -42,12 +45,14 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
-    from mimamo_tpu.config import BackboneSpec, ClipSpec, MimamoConfig
+    from mimamo_tpu.config import (BackboneSpec, ClipSpec, MimamoConfig,
+                                   TemporalSpec)
     from mimamo_tpu.runner import Mimamo
 
     cfg = MimamoConfig(
         backbone=BackboneSpec(dtype=args.dtype,
                               input_size=args.backbone_size),
+        temporal=TemporalSpec(streams=args.streams),
         clip=ClipSpec(clip_len=args.clip_len, stride=args.clip_len // 2),
     )
     model = Mimamo(cfg)
