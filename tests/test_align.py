@@ -106,6 +106,26 @@ class TestProcrustesAlignment:
         np.testing.assert_allclose(a[:, :2], rot, atol=1e-9)
         np.testing.assert_allclose(a[:, 2], [ty, tx], atol=1e-9)
 
+    def test_umeyama_matches_cv2_oracle(self):
+        """Independent oracle (repo convention): our complex-LSQ fit ==
+        cv2.estimateAffinePartial2D's similarity estimate (no RANSAC,
+        least-squares over all points) on noisy correspondences."""
+        rng = np.random.default_rng(3)
+        dst = self._ring_landmarks()
+        th, s = -0.25, 0.8
+        rot = s * np.asarray([[np.cos(th), -np.sin(th)],
+                              [np.sin(th), np.cos(th)]])
+        src = dst @ rot.T + [12.0, -4.0] + rng.normal(0, 0.8, dst.shape)
+        got = preprocess._umeyama_fit(dst, src)
+        # cv2 works in (x, y); ours in (y, x) — swap both point sets
+        m, _ = cv2.estimateAffinePartial2D(
+            dst[:, ::-1].astype(np.float64),
+            src[:, ::-1].astype(np.float64), method=cv2.LMEDS,
+            refineIters=100)
+        want = np.asarray([[m[1, 1], m[1, 0], m[1, 2]],
+                           [m[0, 1], m[0, 0], m[0, 2]]])
+        np.testing.assert_allclose(got, want, atol=5e-2)
+
     def test_umeyama_degenerate_raises(self):
         pts = np.ones((5, 2))
         with np.testing.assert_raises(ValueError):
