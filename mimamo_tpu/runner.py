@@ -201,7 +201,9 @@ class Mimamo:
         sliding clip windows (clip_len/stride from config), batched clip
         inference, overlap-averaged back to per-frame outputs — the
         reference's ``API.predict`` equivalent (SURVEY.md §3.1) without
-        the disk round-trips. With ``landmarks`` ([T, 2, 2] eye points
+        the disk round-trips. Videos shorter than one clip are padded by
+        repeating the last crop (static tail: ~zero phase diffs) and
+        the outputs trimmed back to the real length. With ``landmarks`` ([T, 2, 2] eye points
         or [T, K>=3, 2] dense sets, e.g. OpenFace 68), crops are
         similarity-*aligned* on device (the OpenFace role) instead of
         axis-aligned box crops.
@@ -214,6 +216,14 @@ class Mimamo:
             params = np.asarray(boxes, np.float32)
         crops = self.crop_video_chunked(frames_rgb, params,
                                         align=landmarks is not None)
+        t_real = frames_rgb.shape[0]
+        if t_real < cfg.clip_len:
+            # Short video: repeat the last crop out to one clip (static
+            # tail has ~zero phase diffs, so it barely perturbs the GRU
+            # state for the real frames) and trim the outputs below.
+            pad = cfg.clip_len - t_real
+            crops = jnp.concatenate(
+                [crops, jnp.repeat(crops[-1:], pad, axis=0)])
         windows, starts = preprocess.sliding_windows(
             crops, cfg.clip_len, cfg.stride)
         preds = []
@@ -226,8 +236,9 @@ class Mimamo:
             out = self.predict_clips(variables, batch)
             preds.append(out[:out.shape[0] - pad] if pad else out)
         preds = jnp.concatenate(preds, axis=0)
-        return np.asarray(preprocess.merge_window_predictions(
-            preds, starts, frames_rgb.shape[0]))
+        merged = preprocess.merge_window_predictions(
+            preds, starts, max(frames_rgb.shape[0], cfg.clip_len))
+        return np.asarray(merged[:t_real])
 
     def crop_video_chunked(self, frames_rgb: np.ndarray,
                            params: np.ndarray, align: bool = False,

@@ -69,6 +69,19 @@ class TestEndToEnd:
         assert series.shape == (14, 2)
         assert np.all(np.isfinite(series))
 
+    def test_predict_video_shorter_than_clip(self, model_and_vars):
+        """Videos with fewer frames than clip_len must still predict
+        (last-crop padding, outputs trimmed to the real length)."""
+        model, variables = model_and_vars
+        rng = np.random.default_rng(4)
+        frames = rng.uniform(0, 255, (4, 48, 64, 3)).astype(np.float32)
+        boxes = np.tile(np.asarray([[8.0, 16.0, 32.0, 32.0]], np.float32),
+                        (4, 1))
+        series = model.predict_video(variables, frames, boxes,
+                                     batch_clips=2)
+        assert series.shape == (4, 2)
+        assert np.all(np.isfinite(series))
+
     def test_uint8_feed_bit_identical(self, model_and_vars):
         """uint8 crops (the 4x-cheaper transfer dtype) must produce
         bit-identical outputs to the same values fed as float32 — the
