@@ -145,15 +145,18 @@ class CorpusRunner:
                 self._mark_done({"video": path, "status": "decode_failed"})
                 return
             a = acc.pop(vi, None)
-            if a is None or total_frames < cfg.clip_len:
+            if a is None or total_frames <= 0:
                 self._mark_done({"video": path, "status": "too_short",
                                  "frames": total_frames})
                 return
             from .preprocess import merge_window_predictions
             import jax.numpy as jnp
+            # Short videos arrive as ONE last-crop-padded clip (loader
+            # contract); merge over the padded length, trim to real T.
             series = np.asarray(merge_window_predictions(
                 jnp.asarray(np.stack(a["preds"])),
-                np.asarray(a["starts"], np.int32), total_frames))
+                np.asarray(a["starts"], np.int32),
+                max(total_frames, cfg.clip_len)))[:total_frames]
             out_csv = os.path.join(self.out_dir, name + ".csv")
             with open(out_csv, "w") as f:
                 f.write("frame,valence,arousal\n")
@@ -209,7 +212,7 @@ class CorpusRunner:
                 yield None, ~vi, -1
                 continue
             t = frames.shape[0]
-            if t >= cfg.clip_len:
+            if t > 0:
                 crops = np.stack([
                     cv2.resize(
                         frames[i][int(b[0]):int(b[0] + b[2]),
@@ -217,9 +220,19 @@ class CorpusRunner:
                         (cfg.crop_size, cfg.crop_size),
                         interpolation=cv2.INTER_LINEAR)
                     for i, b in enumerate(boxes)])
-                starts = list(range(0, t - cfg.clip_len + 1, cfg.stride))
-                if starts[-1] != t - cfg.clip_len:
-                    starts.append(t - cfg.clip_len)
-                for s in starts:
-                    yield crops[s:s + cfg.clip_len], vi, s
+                if t < cfg.clip_len:
+                    # short video: one last-crop-padded clip (same
+                    # contract as the native loader; outputs trimmed
+                    # in finalize)
+                    crops = np.concatenate(
+                        [crops, np.repeat(crops[-1:],
+                                          cfg.clip_len - t, axis=0)])
+                    yield crops, vi, 0
+                else:
+                    starts = list(range(0, t - cfg.clip_len + 1,
+                                        cfg.stride))
+                    if starts[-1] != t - cfg.clip_len:
+                        starts.append(t - cfg.clip_len)
+                    for s in starts:
+                        yield crops[s:s + cfg.clip_len], vi, s
             yield None, ~vi, t

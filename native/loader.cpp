@@ -257,6 +257,27 @@ struct Corpus {
         c.start_frame = frame_idx - clip_len;
         queue.push(std::move(c));
       }
+      // Short video (< clip_len frames): one clip padded by repeating
+      // the last crop (static tail: ~zero phase diffs), start_frame 0;
+      // the consumer trims outputs to the real frame count (matches
+      // runner.predict_video's short-video policy).
+      if (frame_idx > 0 && frame_idx < clip_len) {
+        Clip c;
+        c.data.resize(clip_bytes);
+        size_t off = 0;
+        for (const auto& f : window) {
+          std::memcpy(c.data.data() + off, f.data(), f.size());
+          off += f.size();
+        }
+        const auto& last = window.back();
+        for (int k = frame_idx; k < clip_len; ++k) {
+          std::memcpy(c.data.data() + off, last.data(), last.size());
+          off += last.size();
+        }
+        c.video_idx = vi;
+        c.start_frame = 0;
+        queue.push(std::move(c));
+      }
       // End-of-video sentinel (empty payload): video_idx = ~vi,
       // start_frame = total decoded frames. Lets the consumer finalize
       // per-video outputs incrementally (checkpointed corpus runs).

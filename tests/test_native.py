@@ -155,3 +155,51 @@ class TestCorpusRunner:
                              use_native=False).run(paths)
         assert stats["resumed_skipped"] == 1
         assert stats["videos"] == 2
+
+
+class TestShortVideos:
+    """Videos shorter than clip_len: one last-crop-padded clip, outputs
+    trimmed to the real frame count (both loaders + finalize)."""
+
+    @pytest.fixture(scope="class")
+    def short_dir(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("short")
+        rng = np.random.default_rng(1)
+        frames = rng.uniform(0, 255, (5, 48, 64, 3)).astype(np.uint8)
+        decode.write_video(str(root / "tiny.mp4"), frames)
+        return root
+
+    @needs_native
+    def test_native_loader_pads_short_video(self, short_dir):
+        clips = []
+        with native_loader.NativeCorpusLoader(
+                [str(short_dir / "tiny.mp4")], clip_len=8, stride=4,
+                crop=32, n_threads=1) as loader:
+            for clip, vi, start in loader:
+                if vi >= 0:
+                    clips.append((clip, start))
+                else:
+                    assert start == 5       # real frame count sentinel
+        assert len(clips) == 1
+        clip, start = clips[0]
+        assert start == 0 and clip.shape == (8, 32, 32, 3)
+        # padded tail repeats the last real crop
+        np.testing.assert_array_equal(clip[5], clip[4])
+        np.testing.assert_array_equal(clip[7], clip[4])
+        assert not np.array_equal(clip[3], clip[4])
+
+    @pytest.mark.parametrize("use_native", [True, False])
+    def test_corpus_runner_short_video_csv(self, short_dir, tmp_path,
+                                           use_native):
+        if use_native and not native_loader.available():
+            pytest.skip("native lib not built")
+        model = Mimamo(tiny_config(clip_len=8, stride=4))
+        variables = model.init_variables(jax.random.PRNGKey(0))
+        out_dir = str(tmp_path / f"short_{use_native}")
+        runner = CorpusRunner(model, variables, out_dir, batch_clips=2,
+                              use_native=use_native, loader_threads=1)
+        stats = runner.run([str(short_dir / "tiny.mp4")])
+        assert stats["videos"] == 1 and stats["frames"] == 5
+        with open(os.path.join(out_dir, "tiny.csv")) as f:
+            rows = f.read().strip().splitlines()
+        assert len(rows) == 6  # header + 5 frames
