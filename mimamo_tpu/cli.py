@@ -141,7 +141,8 @@ def cmd_train(args) -> int:
                         lr_schedule=args.lr_schedule,
                         warmup_steps=args.warmup_steps,
                         augment=args.augment,
-                        brightness_jitter=args.brightness_jitter))
+                        brightness_jitter=args.brightness_jitter,
+                        freeze_backbone=not args.finetune_backbone))
     model = Mimamo(config)
     ds = _dataset(args, config)
     if len(ds) == 0:
@@ -152,9 +153,11 @@ def cmd_train(args) -> int:
     tx = train.make_optimizer(config, total_steps=planned_steps)
     state, tx = train.create_train_state(model, jax.random.PRNGKey(
         config.train.seed), tx=tx)
-    # Online appearance stream is mandatory under crop augmentation —
-    # cached .feat.npy embeddings cannot reflect augmented crops.
-    augmenting = args.augment or args.brightness_jitter > 0
+    # Online appearance stream is mandatory under crop augmentation
+    # (cached .feat.npy embeddings cannot reflect augmented crops) and
+    # under fine-tuning (the backbone must actually run to get grads).
+    augmenting = (args.augment or args.brightness_jitter > 0
+                  or args.finetune_backbone)
     if args.resume and checkpoints.latest_step(args.ckpt) is not None:
         state = checkpoints.restore(args.ckpt, state)
         resumed = int(np.asarray(state.step))
@@ -309,7 +312,8 @@ def cmd_predict_corpus(args) -> int:
     runner = CorpusRunner(model, variables, args.out_dir,
                           batch_clips=args.batch, mesh=mesh,
                           loader_threads=args.threads,
-                          use_native=not args.no_native)
+                          use_native=not args.no_native,
+                          smooth=args.smooth)
     print(json.dumps(runner.run(paths)))
     return 0
 
@@ -467,6 +471,10 @@ def main(argv: Optional[list] = None) -> int:
                         "(online appearance stream only)")
     p.add_argument("--brightness-jitter", type=float, default=0.0,
                    help="per-clip brightness scale jitter j: [1-j, 1+j]")
+    p.add_argument("--finetune-backbone", action="store_true",
+                   help="unfreeze the ResNet (train-mode BN, remat'd "
+                        "backward); default keeps it frozen like the "
+                        "reference")
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
@@ -513,6 +521,9 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--no-native", action="store_true",
                    help="force the pure-Python loader")
     p.add_argument("--data-parallel", action="store_true")
+    p.add_argument("--smooth", type=int, default=1,
+                   help="odd moving-average window over each output "
+                        "series (1 = off)")
     _add_common(p)
     p.set_defaults(fn=cmd_predict_corpus)
 

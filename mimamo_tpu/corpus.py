@@ -30,7 +30,8 @@ class CorpusRunner:
                  batch_clips: int = 8, mesh=None,
                  loader_threads: int = 4, use_native: bool = True,
                  process_id: Optional[int] = None,
-                 process_count: Optional[int] = None):
+                 process_count: Optional[int] = None,
+                 smooth: int = 1):
         """``process_id``/``process_count`` shard the corpus across host
         processes (multi-host pod slice after
         ``parallel.initialize_distributed``): each process works a
@@ -46,6 +47,7 @@ class CorpusRunner:
         self.mesh = mesh
         self.loader_threads = loader_threads
         self.use_native = use_native
+        self.smooth = smooth          # odd moving-average window (1=off)
         self.process_id = (jax.process_index() if process_id is None
                            else process_id)
         self.process_count = (jax.process_count() if process_count is None
@@ -157,6 +159,9 @@ class CorpusRunner:
                 jnp.asarray(np.stack(a["preds"])),
                 np.asarray(a["starts"], np.int32),
                 max(total_frames, cfg.clip_len)))[:total_frames]
+            if self.smooth > 1:
+                from .api import smooth_series
+                series = smooth_series(series, self.smooth)
             out_csv = os.path.join(self.out_dir, name + ".csv")
             with open(out_csv, "w") as f:
                 f.write("frame,valence,arousal\n")
