@@ -161,6 +161,9 @@ class MimamoAPI:
         ``smooth``: odd moving-average window over the output series
         (the reference's postprocess smoothing — SURVEY.md §3.1; 1 =
         off; overlap-averaged windows already smooth seams)."""
+        if smooth > 1 and smooth % 2 == 0:
+            # validate before decode + inference are spent
+            raise ValueError(f"smooth window must be odd, got {smooth}")
         frames, boxes = decode.load_video_with_boxes(
             video_path, boxes_path=boxes_path, max_frames=max_frames)
         landmarks = None

@@ -47,6 +47,10 @@ class CorpusRunner:
         self.mesh = mesh
         self.loader_threads = loader_threads
         self.use_native = use_native
+        if smooth > 1 and smooth % 2 == 0:
+            # fail here, not in finalize() after a video's full decode +
+            # inference has already been spent
+            raise ValueError(f"smooth window must be odd, got {smooth}")
         self.smooth = smooth          # odd moving-average window (1=off)
         self.process_id = (jax.process_index() if process_id is None
                            else process_id)
@@ -88,7 +92,11 @@ class CorpusRunner:
             video_paths = parallel.shard_paths(
                 video_paths, self.process_id, self.process_count)
         done = self._completed()
-        todo = [p for p in video_paths if p not in done]
+        # "incomplete" (loader stream died before the end-of-video
+        # sentinel) is retryable; everything else is terminal.
+        todo = [p for p in video_paths
+                if p not in done
+                or done[p].get("status") == "incomplete"]
         skipped = len(video_paths) - len(todo)
         if not todo:
             return {"videos": 0, "resumed_skipped": skipped, "frames": 0,
@@ -184,9 +192,16 @@ class CorpusRunner:
                 flush()
         flush()
         drain(limit=0)
-        for vi in list(acc):                # defensive: stream ended early
-            finalize(vi, max(s + cfg.clip_len
-                             for s in acc[vi]["starts"]))
+        for vi in list(acc):
+            # Defensive: the loader stream ended without this video's
+            # end-of-video sentinel, so its true frame count is unknown
+            # (guessing from window starts would fabricate per-frame
+            # rows — e.g. a short video's padded clip would report
+            # clip_len frames of synthetic predictions). Record it as
+            # incomplete with no CSV; a resume re-runs it.
+            acc.pop(vi)
+            stats["failed"] += 1
+            self._mark_done({"video": todo[vi], "status": "incomplete"})
 
         stats["sec"] = round(time.time() - t0, 2)
         stats["fps"] = round(stats["frames"] / stats["sec"], 1) \
@@ -229,10 +244,8 @@ class CorpusRunner:
                     # short video: one last-crop-padded clip (same
                     # contract as the native loader; outputs trimmed
                     # in finalize)
-                    crops = np.concatenate(
-                        [crops, np.repeat(crops[-1:],
-                                          cfg.clip_len - t, axis=0)])
-                    yield crops, vi, 0
+                    from .preprocess import pad_short_clip
+                    yield pad_short_clip(crops, cfg.clip_len), vi, 0
                 else:
                     starts = list(range(0, t - cfg.clip_len + 1,
                                         cfg.stride))

@@ -32,7 +32,7 @@ def _cascade_xml(name: str = "haarcascade_frontalface_default.xml") -> str:
         return ""
 
 
-_ABI_VERSION = 2
+_ABI_VERSION = 3
 
 
 def _load_lib() -> Optional[ctypes.CDLL]:

@@ -339,6 +339,23 @@ def warp_similarity(frames: jnp.ndarray, transforms: jnp.ndarray,
     return top * (1 - fy)[..., None] + bot * fy[..., None]
 
 
+def pad_short_clip(crops, clip_len: int):
+    """Pad a < clip_len crop sequence by repeating the last crop.
+
+    THE short-video policy (one place for both Python call sites; the
+    native C++ loader mirrors it — loader.cpp, ABI v3): a static tail
+    contributes ~zero phase diffs, so it barely perturbs the GRU state
+    for the real frames; callers trim outputs back to the true length.
+    Works on numpy or jax arrays of shape [T, ...] with T >= 1.
+    """
+    t = crops.shape[0]
+    if t >= clip_len:
+        return crops
+    xp = np if isinstance(crops, np.ndarray) else jnp
+    return xp.concatenate(
+        [crops, xp.repeat(crops[-1:], clip_len - t, axis=0)])
+
+
 def sliding_windows(x: jnp.ndarray, clip_len: int, stride: int
                     ) -> Tuple[jnp.ndarray, np.ndarray]:
     """Slice [T, ...] into overlapping [N, clip_len, ...] windows.

@@ -217,13 +217,8 @@ class Mimamo:
         crops = self.crop_video_chunked(frames_rgb, params,
                                         align=landmarks is not None)
         t_real = frames_rgb.shape[0]
-        if t_real < cfg.clip_len:
-            # Short video: repeat the last crop out to one clip (static
-            # tail has ~zero phase diffs, so it barely perturbs the GRU
-            # state for the real frames) and trim the outputs below.
-            pad = cfg.clip_len - t_real
-            crops = jnp.concatenate(
-                [crops, jnp.repeat(crops[-1:], pad, axis=0)])
+        # short videos: one last-crop-padded clip, outputs trimmed below
+        crops = preprocess.pad_short_clip(crops, cfg.clip_len)
         windows, starts = preprocess.sliding_windows(
             crops, cfg.clip_len, cfg.stride)
         preds = []

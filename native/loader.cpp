@@ -297,7 +297,10 @@ extern "C" {
 // Bumped whenever an exported signature changes; the ctypes wrapper
 // refuses (and falls back to Python) on mismatch so a stale .so can
 // never be called with the wrong ABI.
-int ml_abi_version() { return 2; }
+// 3: short-video padding (one last-crop-padded clip for videos
+// with < clip_len frames) — a behavioral contract the Python
+// consumer relies on, so stale builds must be refused.
+int ml_abi_version() { return 3; }
 
 void* ml_corpus_open(const char** paths, int n_videos, int clip_len,
                      int stride, int crop, int queue_cap, int n_threads,

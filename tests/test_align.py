@@ -107,9 +107,12 @@ class TestProcrustesAlignment:
         np.testing.assert_allclose(a[:, 2], [ty, tx], atol=1e-9)
 
     def test_umeyama_matches_cv2_oracle(self):
-        """Independent oracle (repo convention): our complex-LSQ fit ==
-        cv2.estimateAffinePartial2D's similarity estimate (no RANSAC,
-        least-squares over all points) on noisy correspondences."""
+        """Independent oracle (repo convention): our complex-LSQ fit vs
+        cv2.estimateAffinePartial2D. Note cv2's LMEDS is a robust
+        estimator (it refits on an inlier subset; cv2 offers no plain
+        full-LSQ mode here), so under Gaussian noise the two estimates
+        agree only to ~noise scale — hence the loose atol; do NOT
+        tighten it expecting exact agreement."""
         rng = np.random.default_rng(3)
         dst = self._ring_landmarks()
         th, s = -0.25, 0.8

@@ -203,3 +203,35 @@ class TestShortVideos:
         with open(os.path.join(out_dir, "tiny.csv")) as f:
             rows = f.read().strip().splitlines()
         assert len(rows) == 6  # header + 5 frames
+
+
+class TestCorpusRobustness:
+    def test_even_smooth_rejected_at_init(self, tmp_path):
+        model = Mimamo(tiny_config(clip_len=8, stride=4))
+        variables = model.init_variables(jax.random.PRNGKey(0))
+        with pytest.raises(ValueError, match="odd"):
+            CorpusRunner(model, variables, str(tmp_path / "o"),
+                         smooth=4)
+
+    def test_incomplete_rows_are_retried_on_resume(self, corpus_dir,
+                                                   tmp_path):
+        """'incomplete' (loader died before the end-of-video sentinel)
+        must be retryable; terminal rows must not be."""
+        import json as _json
+        root, lengths = corpus_dir
+        model = Mimamo(tiny_config(clip_len=8, stride=4))
+        variables = model.init_variables(jax.random.PRNGKey(0))
+        out_dir = str(tmp_path / "retry")
+        os.makedirs(out_dir)
+        paths = [str(root / f"v{i}.mp4") for i in range(3)]
+        with open(os.path.join(out_dir, "manifest.jsonl"), "w") as f:
+            f.write(_json.dumps({"video": paths[0],
+                                 "status": "incomplete"}) + "\n")
+            f.write(_json.dumps({"video": paths[1], "status": "ok",
+                                 "frames": 9}) + "\n")
+        runner = CorpusRunner(model, variables, out_dir, batch_clips=2,
+                              use_native=False)
+        stats = runner.run(paths)
+        assert stats["resumed_skipped"] == 1          # only the 'ok' row
+        assert stats["videos"] == 2                   # incomplete + new
+        assert os.path.exists(os.path.join(out_dir, "v0.csv"))
