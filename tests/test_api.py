@@ -1,0 +1,119 @@
+"""API-layer tests: the reference-mirroring two-step workflow surface.
+
+SURVEY.md §1 L1/L4: ``Video_Processor.process -> crops``,
+``Resnet50_Extractor.extract -> features``, ``API.predict -> series``.
+These classes are the drop-in-familiarity layer for reference users;
+pin their file contracts and their equivalence to the fused path.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mimamo_tpu import api
+from mimamo_tpu.io import decode
+from mimamo_tpu.runner import Mimamo
+
+from test_runner import tiny_config
+
+
+@pytest.fixture(scope="module")
+def video(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vid") / "clip.mp4")
+    rng = np.random.default_rng(0)
+    frames = rng.uniform(0, 255, (10, 48, 64, 3)).astype(np.uint8)
+    decode.write_video(path, frames)
+    return path
+
+
+class TestVideoProcessor:
+    def test_process_writes_crops_and_boxes(self, video, tmp_path):
+        vp = api.VideoProcessor(save_size=32, config=tiny_config())
+        out = vp.process(video, str(tmp_path / "work"))
+        crops = np.load(out)
+        assert crops.shape == (10, 32, 32, 3) and crops.dtype == np.uint8
+        boxes = np.load(out.replace("clip.npy", "clip.boxes.npy"))
+        assert boxes.shape == (10, 4)
+
+    def test_process_align_writes_landmarks(self, video, tmp_path):
+        vp = api.VideoProcessor(save_size=32, config=tiny_config())
+        out = vp.process(video, str(tmp_path / "aligned"), align=True)
+        lm = np.load(os.path.join(os.path.dirname(out),
+                                  "clip.landmarks.npy"))
+        assert lm.ndim == 3 and lm.shape[0] == 10 and lm.shape[-1] == 2
+        assert np.load(out).shape == (10, 32, 32, 3)
+
+
+class TestFeatureExtractor:
+    def test_extract_matches_embed_frames(self, video, tmp_path):
+        """.feat.npy == the fused path's embed_frames on the same crops
+        (whatever tail padding the batching used must not leak)."""
+        cfg = tiny_config()
+        vp = api.VideoProcessor(save_size=32, config=cfg)
+        crops_npy = vp.process(video, str(tmp_path / "w"))
+        model = Mimamo(cfg)
+        variables = model.init_variables(jax.random.PRNGKey(0))
+        fx = api.FeatureExtractor(config=cfg, variables=variables,
+                                  batch_size=4)   # forces tail padding
+        feat_path = fx.extract(crops_npy)
+        assert feat_path.endswith(".feat.npy")
+        feats = np.load(feat_path)
+        crops = np.load(crops_npy)
+        want = np.asarray(jax.jit(model.embed_frames)(
+            variables, jnp.asarray(crops)[None]))[0]
+        assert feats.shape == want.shape
+        # separate jit programs (different fusion choices) diverge by
+        # ~1e-4 on O(50) pool5 activations — relative ~2e-6
+        np.testing.assert_allclose(feats, want, rtol=1e-5, atol=1e-3)
+
+
+class TestMimamoAPI:
+    def test_predict_writes_csv_and_matches_runner(self, video,
+                                                   tmp_path):
+        cfg = tiny_config()
+        a = api.MimamoAPI(config=cfg)
+        csv = str(tmp_path / "out.csv")
+        series = a.predict(video, out_csv=csv)
+        assert series.shape == (10, 2)
+        with open(csv) as f:
+            rows = f.read().strip().splitlines()
+        assert rows[0] == "frame,valence,arousal" and len(rows) == 11
+        # same decode + boxes through the runner directly == API result
+        frames, boxes = decode.load_video_with_boxes(video)
+        want = a.model.predict_video(a.variables, frames, boxes)
+        np.testing.assert_allclose(series, want, atol=1e-6)
+
+    def test_even_smooth_rejected_before_decode(self, tmp_path):
+        a = api.MimamoAPI(config=tiny_config())
+        with pytest.raises(ValueError, match="odd"):
+            # nonexistent video: the smooth check must fire first
+            a.predict(str(tmp_path / "nope.mp4"), smooth=2)
+
+    def test_smoothing_changes_series(self, video):
+        a = api.MimamoAPI(config=tiny_config())
+        raw = a.predict(video)
+        sm = a.predict(video, smooth=5)
+        assert raw.shape == sm.shape
+        # smoothing reduces total variation
+        tv = lambda s: np.abs(np.diff(s, axis=0)).sum()
+        assert tv(sm) <= tv(raw) + 1e-6
+
+
+class TestExtractCLI:
+    def test_cli_extract_two_step_files(self, video, tmp_path):
+        from mimamo_tpu import cli
+        out_dir = str(tmp_path / "ext")
+        rc = cli.main([
+            "extract", "--video", video, "--out-dir", out_dir,
+            "--crop-size", "32", "--backbone-size", "32",
+            "--pyramid-height", "2", "--orientations", "2",
+            "--phase-size", "16", "--clip-len", "8", "--stride", "4",
+            "--cpu"])
+        assert rc == 0
+        assert np.load(os.path.join(out_dir, "clip.npy")).shape == \
+            (10, 32, 32, 3)
+        feats = np.load(os.path.join(out_dir, "clip.feat.npy"))
+        assert feats.shape[0] == 10 and feats.ndim == 2
