@@ -367,10 +367,51 @@ def cmd_convert(args) -> int:
             sd, prefix_map=json_map(args.temporal_prefix_map),
             spec=config.temporal, phase_size=config.phase.phase_size,
             strict=strict)
+
+        def prune(over, base, path=""):
+            """Drop overlay subtrees the target config has no params
+            for (e.g. the inactive stream of a --streams ablation) —
+            merging them would carry dangling tensors into the
+            checkpoint. Shape mismatches against the config's tree are
+            collected (strict: error; --no-strict: dropped) — e.g. a
+            full two-stream checkpoint's fusion kernel is [2H, F] but a
+            single-stream model's is [H, F].
+            Returns (pruned, dropped_count, mismatches)."""
+            dropped, mism = 0, []
+            out = {}
+            for k, v in over.items():
+                p = f"{path}/{k}" if path else k
+                if k not in base:
+                    dropped += len(jax.tree_util.tree_leaves(v))
+                elif isinstance(v, dict) and isinstance(base[k], dict):
+                    out[k], d, m = prune(v, base[k], p)
+                    dropped += d
+                    mism += m
+                elif getattr(v, "shape", None) != getattr(
+                        base[k], "shape", None):
+                    mism.append(f"{p}: checkpoint {v.shape} vs config "
+                                f"{base[k].shape}")
+                    dropped += 1
+                else:
+                    out[k] = v
+            return out, dropped, mism
+
+        dropped, mismatches = 0, []
+        for col in list(overlay):
+            overlay[col], d, m = prune(overlay[col],
+                                       variables["temporal"].get(col, {}))
+            dropped += d
+            mismatches += m
+        if mismatches and strict:
+            raise SystemExit(
+                "tensor shapes incompatible with this config (pass "
+                "--no-strict to drop them): " + "; ".join(mismatches))
         variables["temporal"] = checkpoints.merge_variables(
             variables["temporal"], overlay)
         report["temporal_tensors"] = len(
             jax.tree_util.tree_leaves(overlay))
+        if dropped:
+            report["temporal_dropped_for_config"] = dropped
     state, _ = train.create_train_state(model, jax.random.PRNGKey(0),
                                         variables=variables)
     out = checkpoints.save(args.out, state, step=0)

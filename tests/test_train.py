@@ -532,6 +532,83 @@ class TestConvertCLI:
         np.testing.assert_allclose(got_head, sd["head.weight"].numpy().T,
                                    atol=1e-6)
 
+    def test_convert_prunes_inactive_stream(self, tmp_path, capsys):
+        """Converting a FULL two-stream .pth into a micro-only config
+        drops the macro tensors (no dangling params in the checkpoint)
+        and reports the count."""
+        import json as _json
+        import torch
+        from mimamo_tpu import cli, checkpoints, train as train_mod
+        from mimamo_tpu.config import (MimamoConfig, PyramidSpec,
+                                       PhaseSpec, ClipSpec, BackboneSpec,
+                                       TemporalSpec)
+        cfg = MimamoConfig(
+            pyramid=PyramidSpec(height=2, orientations=2,
+                                input_size=(32, 32)),
+            phase=PhaseSpec(phase_size=16),
+            backbone=BackboneSpec(input_size=32),
+            temporal=TemporalSpec(streams="micro"),
+            clip=ClipSpec(clip_len=8, stride=4, crop_size=32))
+        spec, h = cfg.temporal, cfg.temporal.gru_hidden
+        torch.manual_seed(5)
+        cnn = _TorchMicroCNN(4, spec.micro_cnn_features,
+                             spec.micro_embed_dim, 16)
+        sd = {f"micro_cnn.{k}": v for k, v in cnn.state_dict().items()}
+        for stream, din in (("gru_micro", spec.micro_embed_dim),
+                            ("gru_macro", spec.macro_embed_dim)):
+            sd[f"{stream}.weight_ih_l0"] = torch.randn(3 * h, din)
+            sd[f"{stream}.weight_hh_l0"] = torch.randn(3 * h, h)
+            sd[f"{stream}.bias_ih_l0"] = torch.randn(3 * h)
+            sd[f"{stream}.bias_hh_l0"] = torch.randn(3 * h)
+        for name, (din, dout) in (
+                ("macro_proj", (cfg.backbone.feature_dim,
+                                spec.macro_embed_dim)),
+                ("fusion", (h, spec.fusion_hidden)),   # micro-only: 1*h
+                ("head", (spec.fusion_hidden, spec.num_outputs))):
+            lin = torch.nn.Linear(din, dout)
+            sd[f"{name}.weight"] = lin.weight.detach()
+            sd[f"{name}.bias"] = lin.bias.detach()
+        pth = str(tmp_path / "full.pth")
+        torch.save(sd, pth)
+        ckpt = str(tmp_path / "ck")
+        rc = cli.main([
+            "convert", "--temporal-pth", pth, "--out", ckpt,
+            "--streams", "micro", "--crop-size", "32",
+            "--backbone-size", "32", "--pyramid-height", "2",
+            "--orientations", "2", "--phase-size", "16",
+            "--clip-len", "8", "--stride", "4", "--cpu"])
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # gru_macro (4 tensors) + macro_proj (2) dropped
+        assert out["temporal_dropped_for_config"] == 6
+        model = Mimamo(cfg)
+        state, _ = train_mod.create_train_state(model,
+                                                jax.random.PRNGKey(1))
+        restored = checkpoints.restore(ckpt, state)
+        assert "gru_macro" not in restored.params["temporal"]
+        got = np.asarray(
+            restored.params["temporal"]["gru_micro"]["w_ih"])
+        np.testing.assert_allclose(
+            got, sd["gru_micro.weight_ih_l0"].numpy(), atol=1e-6)
+
+        # A TRUE full checkpoint has fusion [2H, F]; against the
+        # micro-only config ([H, F]) strict convert must fail with the
+        # exact path, and --no-strict must drop it (6 + 1 tensors).
+        sd["fusion.weight"] = torch.randn(spec.fusion_hidden, 2 * h)
+        torch.save(sd, pth)
+        args = ["convert", "--temporal-pth", pth,
+                "--out", str(tmp_path / "ck2"), "--streams", "micro",
+                "--crop-size", "32", "--backbone-size", "32",
+                "--pyramid-height", "2", "--orientations", "2",
+                "--phase-size", "16", "--clip-len", "8",
+                "--stride", "4", "--cpu"]
+        with pytest.raises(SystemExit, match="fusion/kernel"):
+            cli.main(args)
+        capsys.readouterr()
+        assert cli.main(args + ["--no-strict"]) == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["temporal_dropped_for_config"] == 7
+
     def test_convert_requires_some_input(self, tmp_path):
         from mimamo_tpu import cli
         with pytest.raises(SystemExit, match="convert needs"):
