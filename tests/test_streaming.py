@@ -103,3 +103,34 @@ class TestStreamingSession:
             sess.feed({slot: _video(3, 0)})
         with pytest.raises(ValueError, match="not active"):
             sess.feed({1: _video(4, 0)})
+
+
+class TestMeshShardedSession:
+    def test_sharded_session_matches_unsharded(self, model_vars):
+        """Slot axis sharded over the 8-virtual-device mesh == plain
+        session (the serving scale-out path, SURVEY.md §5 long-context
+        row): identical outputs per fed slot across multiple chunks."""
+        from mimamo_tpu import parallel
+        model, variables = model_vars
+        mesh = parallel.make_mesh()
+        assert mesh.devices.size == 8
+        plain = StreamingSession(model, variables, capacity=8, chunk=4)
+        shard = StreamingSession(model, variables, capacity=8, chunk=4,
+                                 mesh=mesh)
+        videos = {0: _video(8, 10), 1: _video(8, 11), 2: _video(8, 12)}
+        slots_p = {k: plain.add_stream() for k in videos}
+        slots_s = {k: shard.add_stream() for k in videos}
+        for start in (0, 4):
+            feed = {k: v[start:start + 4] for k, v in videos.items()}
+            out_p = plain.feed({slots_p[k]: f for k, f in feed.items()})
+            out_s = shard.feed({slots_s[k]: f for k, f in feed.items()})
+            for k in videos:
+                np.testing.assert_allclose(out_s[slots_s[k]],
+                                           out_p[slots_p[k]], atol=1e-5)
+
+    def test_capacity_must_divide_mesh(self, model_vars):
+        from mimamo_tpu import parallel
+        model, variables = model_vars
+        with pytest.raises(ValueError, match="divisible"):
+            StreamingSession(model, variables, capacity=6,
+                             mesh=parallel.make_mesh())
