@@ -67,21 +67,30 @@ def read_landmarks_csv(path: str, num_frames: Optional[int] = None
 
         # frame -> (confidence, landmarks); best face per frame
         best = {}
-        for row in reader:
+        for lineno, row in enumerate(reader, start=2):
             if not row:
                 continue
-            idx = int(float(row[col["frame"]]))
-            ok = (succ_col is None
-                  or float(row[succ_col]) >= 0.5)
-            if not ok:
-                best.setdefault(idx, None)  # mark the frame as seen-failed
-                continue
-            conf = float(row[conf_col]) if conf_col is not None else 1.0
-            prev = best.get(idx)
-            if prev is not None and prev[0] >= conf:
-                continue
-            xs = np.asarray([float(row[i]) for i in x_cols], np.float32)
-            ys = np.asarray([float(row[i]) for i in y_cols], np.float32)
+            try:
+                idx = int(float(row[col["frame"]]))
+                ok = (succ_col is None
+                      or float(row[succ_col]) >= 0.5)
+                if not ok:
+                    # mark the frame as seen-failed
+                    best.setdefault(idx, None)
+                    continue
+                conf = (float(row[conf_col]) if conf_col is not None
+                        else 1.0)
+                prev = best.get(idx)
+                if prev is not None and prev[0] >= conf:
+                    continue
+                xs = np.asarray([float(row[i]) for i in x_cols],
+                                np.float32)
+                ys = np.asarray([float(row[i]) for i in y_cols],
+                                np.float32)
+            except (ValueError, IndexError) as e:
+                raise ValueError(
+                    f"{path}:{lineno}: malformed row ({len(row)} fields "
+                    f"vs {len(header)} header columns): {e}") from None
             best[idx] = (conf, np.stack([ys, xs], axis=-1))
 
     if not best:

@@ -252,6 +252,25 @@ class TestOpenFaceCSV:
         with np.testing.assert_raises(ValueError):
             openface.read_landmarks_csv(allfail)
 
+    def test_malformed_row_reports_line_number(self, tmp_path):
+        from mimamo_tpu.io import openface
+        path = str(tmp_path / "trunc.csv")
+        xs, ys = np.arange(68) * 1.0, np.arange(68) * 2.0
+        good = self._row(1, 0.9, 1, xs, ys)
+        with open(path, "w") as f:
+            hdr = (["frame", " face_id", " timestamp", " confidence",
+                    " success"] + [f" x_{i}" for i in range(68)]
+                   + [f" y_{i}" for i in range(68)])
+            f.write(",".join(hdr) + "\n")
+            f.write(",".join(str(v) for v in good) + "\n")
+            f.write("2,0,0.08,0.9,1,12.5,oops\n")       # truncated row
+        with np.testing.assert_raises(ValueError):
+            try:
+                openface.read_landmarks_csv(path)
+            except ValueError as e:
+                assert "trunc.csv:3" in str(e), e
+                raise
+
     def test_boxes_from_landmarks(self):
         from mimamo_tpu.io import openface
         lm = np.zeros((2, 68, 2), np.float32)
