@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--streams", default="both",
                     choices=["both", "micro", "macro"],
                     help="stream ablation (micro-only skips the ResNet)")
+    ap.add_argument("--appearance-stride", type=int, default=1,
+                    help="ResNet every k-th frame + embedding "
+                         "interpolation (opt-in, non-parity)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--verbose", action="store_true",
                     help="print stage timings to stderr")
@@ -51,7 +54,8 @@ def main():
 
     cfg = MimamoConfig(
         backbone=BackboneSpec(dtype=args.dtype,
-                              input_size=args.backbone_size),
+                              input_size=args.backbone_size,
+                              appearance_stride=args.appearance_stride),
         temporal=TemporalSpec(streams=args.streams),
         clip=ClipSpec(clip_len=args.clip_len, stride=args.clip_len // 2),
     )

@@ -36,6 +36,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    choices=["both", "micro", "macro"],
                    help="stream ablation (paper baselines): micro-only "
                         "skips the ResNet, macro-only skips the pyramid")
+    p.add_argument("--appearance-stride", type=int, default=1,
+                   help="opt-in serving profile: run the ResNet every "
+                        "k-th frame, interpolate embeddings between "
+                        "(micro-motion still sees every frame; NOT "
+                        "reference parity)")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -51,7 +56,8 @@ def _config(args):
                             input_size=(s, s)),
         phase=PhaseSpec(phase_size=args.phase_size),
         backbone=BackboneSpec(input_size=args.backbone_size,
-                              dtype=args.dtype),
+                              dtype=args.dtype,
+                              appearance_stride=args.appearance_stride),
         temporal=TemporalSpec(snippet_len=args.snippet_len,
                               gru_layers=args.gru_layers,
                               streams=args.streams),

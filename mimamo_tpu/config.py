@@ -78,6 +78,13 @@ class BackboneSpec:
     # path (backbone.fold_batchnorm): removes ~53 elementwise passes over
     # activations per forward. Training (train=True) always uses real BN.
     fold_bn_inference: bool = True
+    # Opt-in serving profile (NOT reference parity, like input_size=112):
+    # run the ResNet on every k-th frame only and linearly interpolate
+    # pool5 embeddings between anchors. Appearance changes slowly across
+    # adjacent frames while the backbone is ~80% of step time; the
+    # micro-motion stream still sees EVERY frame, preserving the model's
+    # phase sensitivity. Measured numbers in BASELINE.md.
+    appearance_stride: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

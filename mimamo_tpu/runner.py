@@ -75,7 +75,33 @@ class Mimamo:
 
         Inference-mode BN (running stats); the training path in train.py
         applies the backbone itself so BN stat mutation is handled there.
+        With ``appearance_stride=k > 1`` (opt-in serving profile), the
+        backbone runs on frames 0, k, 2k, ... only and the remaining
+        embeddings are linear interpolations between anchors (tail
+        frames past the last anchor hold it).
         """
+        b, t = crops_rgb.shape[:2]
+        k = self.config.backbone.appearance_stride
+        if k > 1 and t > 1:
+            crops_rgb = crops_rgb[:, ::k]
+            n = crops_rgb.shape[1]
+        emb = self._embed_every(variables, crops_rgb)
+        if k > 1 and t > 1:
+            # trace-time interpolation matrix [T, N]: frame t sits at
+            # anchor position t/k
+            w = np.zeros((t, n), np.float32)
+            for f in range(t):
+                p = f / k
+                i0 = min(int(np.floor(p)), n - 1)
+                i1 = min(i0 + 1, n - 1)
+                frac = p - i0 if i1 > i0 else 0.0
+                w[f, i0] += 1.0 - frac
+                w[f, i1] += frac
+            emb = jnp.einsum("bnf,tn->btf", emb, jnp.asarray(w))
+        return emb
+
+    def _embed_every(self, variables: Variables,
+                     crops_rgb: jnp.ndarray) -> jnp.ndarray:
         b, t = crops_rgb.shape[:2]
         imgs = preprocess.for_backbone(
             crops_rgb.reshape((b * t,) + crops_rgb.shape[2:]),

@@ -365,7 +365,9 @@ class TestCLI:
                    PYTHONPATH="/root/repo",
                    # share the suite's persistent compile cache (the
                    # subprocess doesn't run conftest.py)
-                   JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_mimamo_tests",
+                   JAX_COMPILATION_CACHE_DIR=os.environ.get(
+                       "MIMAMO_TEST_CACHE",
+                       "/tmp/jax_cache_mimamo_tests"),
                    JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="2",
                    JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="0")
         r = subprocess.run(

@@ -255,6 +255,58 @@ class TestPreprocess:
             np.asarray(preprocess.to_grayscale(x)), 58.7, atol=1e-3)
 
 
+class TestAppearanceStride:
+    """Opt-in serving profile: ResNet on every k-th frame + linear
+    embedding interpolation (BackboneSpec.appearance_stride)."""
+
+    def _cfg(self, k):
+        import dataclasses
+        cfg = tiny_config()
+        return dataclasses.replace(
+            cfg, backbone=dataclasses.replace(cfg.backbone,
+                                              appearance_stride=k))
+
+    def test_anchor_frames_match_full_computation(self):
+        rng = np.random.default_rng(5)
+        clips = jnp.asarray(
+            rng.uniform(0, 255, (2, 6, 32, 32, 3)).astype(np.float32))
+        full_m = Mimamo(self._cfg(1))
+        variables = full_m.init_variables(jax.random.PRNGKey(0))
+        full = np.asarray(full_m.embed_frames(variables, clips))
+        strided = np.asarray(
+            Mimamo(self._cfg(2)).embed_frames(variables, clips))
+        # anchors 0, 2, 4 computed exactly up to cross-program noise
+        # (the strided program convolves a different batch size ->
+        # different tiling/reduction order; ~1e-4 abs on O(30)
+        # activations, relative ~4e-6); odd frames are midpoints
+        tol = dict(rtol=1e-5, atol=1e-3)
+        for a in (0, 2, 4):
+            np.testing.assert_allclose(strided[:, a], full[:, a], **tol)
+        np.testing.assert_allclose(
+            strided[:, 1], (full[:, 0] + full[:, 2]) / 2, **tol)
+        # frame 5 is past the last anchor (4): holds it
+        np.testing.assert_allclose(strided[:, 5], full[:, 4], **tol)
+
+    def test_full_pipeline_and_outputs_close(self):
+        rng = np.random.default_rng(6)
+        # slowly-varying clip: strided appearance should barely move
+        # the predictions
+        base = rng.uniform(60, 200, (1, 1, 32, 32, 3))
+        drift = np.linspace(0, 4, 6)[None, :, None, None, None]
+        clips = jnp.asarray(
+            np.clip(base + drift, 0, 255).astype(np.float32))
+        variables = Mimamo(self._cfg(1)).init_variables(
+            jax.random.PRNGKey(0))
+        full = np.asarray(
+            Mimamo(self._cfg(1)).predict_clips(variables, clips))
+        strided = np.asarray(
+            Mimamo(self._cfg(3)).predict_clips(variables, clips))
+        assert strided.shape == full.shape
+        assert np.all(np.isfinite(strided))
+        assert np.abs(strided - full).max() < 0.05, (
+            f"strided diverged {np.abs(strided - full).max():.4f}")
+
+
 class TestStreamAblationRunner:
     """Ablation configs through the full jitted pipeline + train step."""
 

@@ -159,7 +159,9 @@ class TestServeCLI:
 
         env = dict(os.environ, JAX_PLATFORMS="cpu",
                    PYTHONPATH="/root/repo",
-                   JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_mimamo_tests",
+                   JAX_COMPILATION_CACHE_DIR=os.environ.get(
+                       "MIMAMO_TEST_CACHE",
+                       "/tmp/jax_cache_mimamo_tests"),
                    JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="2",
                    JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="0")
         reqs = "\n".join([
