@@ -101,25 +101,38 @@ class FeatureExtractor:
             self.model.init_variables)(jax.random.PRNGKey(0))
         # One compiled program per batch (eager ops are minutes-per-op
         # on the TPU tunnel — CLAUDE.md); fixed batch => one compile.
+        # Always the per-frame program: appearance_stride is handled
+        # HERE with a global anchor plan — applying the stride inside
+        # each 64-frame batch would re-anchor at every batch boundary
+        # and diverge from embed_frames on the full video.
         self._embed = jax.jit(
-            lambda v, x: self.model.embed_frames(v, x))
+            lambda v, x: self.model._embed_every(v, x))
 
     def extract(self, crops_npy: str, out_path: Optional[str] = None
                 ) -> str:
         import jax.numpy as jnp
         crops = np.load(crops_npy)          # uint8 feed; cast on device
         t = len(crops)
+        k = self.model.config.backbone.appearance_stride
+        strided = k > 1 and t > 1
+        work = crops[::k] if strided else crops
         feats = []
-        for i in range(0, t, self.batch):
-            piece = crops[i:i + self.batch]
+        for i in range(0, len(work), self.batch):
+            piece = work[i:i + self.batch]
             pad = self.batch - piece.shape[0]
             if pad:                         # static shape: pad the tail
                 piece = np.concatenate(
                     [piece, np.repeat(piece[-1:], pad, axis=0)])
             out = self._embed(self.variables, jnp.asarray(piece)[None])
             feats.append(np.asarray(out)[0, :self.batch - pad])
+        feats = np.concatenate(feats, axis=0)
+        if strided:
+            from .runner import stride_anchor_plan
+            i0, i1, frac = stride_anchor_plan(t, k)
+            feats = (feats[i0] * (1.0 - frac[:, None])
+                     + feats[i1] * frac[:, None])
         out_path = out_path or crops_npy.replace(".npy", ".feat.npy")
-        np.save(out_path, np.concatenate(feats, axis=0))
+        np.save(out_path, feats)
         return out_path
 
 

@@ -164,6 +164,10 @@ def cmd_train(args) -> int:
     # under fine-tuning (the backbone must actually run to get grads).
     augmenting = (args.augment or args.brightness_jitter > 0
                   or args.finetune_backbone)
+    if config.backbone.appearance_stride > 1:
+        print("note: --appearance-stride applies to the frozen-backbone "
+              "embedding path only; it is ignored when fine-tuning or "
+              "training from cached .feat.npy features", file=sys.stderr)
     if args.resume and checkpoints.latest_step(args.ckpt) is not None:
         state = checkpoints.restore(args.ckpt, state)
         resumed = int(np.asarray(state.step))
@@ -393,8 +397,14 @@ def cmd_convert(args) -> int:
                     out[k], d, m = prune(v, base[k], p)
                     dropped += d
                     mism += m
-                elif getattr(v, "shape", None) != getattr(
-                        base[k], "shape", None):
+                elif isinstance(v, dict) != isinstance(base[k], dict):
+                    def desc(x):
+                        return ("subtree" if isinstance(x, dict)
+                                else f"tensor {x.shape}")
+                    mism.append(f"{p}: checkpoint {desc(v)} vs config "
+                                f"{desc(base[k])}")
+                    dropped += len(jax.tree_util.tree_leaves(v))
+                elif v.shape != base[k].shape:
                     mism.append(f"{p}: checkpoint {v.shape} vs config "
                                 f"{base[k].shape}")
                     dropped += 1
@@ -449,7 +459,10 @@ def cmd_serve(args) -> int:
 def cmd_bench(args) -> int:
     import subprocess
     cmd = [sys.executable, "bench.py", "--dtype", args.dtype,
-           "--clip-len", str(args.clip_len)]
+           "--clip-len", str(args.clip_len),
+           "--backbone-size", str(args.backbone_size),
+           "--streams", args.streams,
+           "--appearance-stride", str(args.appearance_stride)]
     if args.cpu:
         cmd.append("--cpu")
     return subprocess.call(cmd)

@@ -83,8 +83,19 @@ class BackboneSpec:
     # pool5 embeddings between anchors. Appearance changes slowly across
     # adjacent frames while the backbone is ~80% of step time; the
     # micro-motion stream still sees EVERY frame, preserving the model's
-    # phase sensitivity. Measured numbers in BASELINE.md.
+    # phase sensitivity. Measured numbers in BASELINE.md. Scope: applies
+    # wherever embed_frames runs (inference paths and frozen-backbone
+    # training); the fine-tuning path ignores it (gradients need the
+    # real per-frame backbone). Streaming chunks anchor per chunk, so
+    # for k > 1 chunked-streaming outputs differ slightly from batch
+    # prediction of the same frames (anchor grids shift at chunk seams).
     appearance_stride: int = 1
+
+    def __post_init__(self):
+        if self.appearance_stride < 1:
+            raise ValueError(
+                f"appearance_stride must be >= 1, got "
+                f"{self.appearance_stride}")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -37,6 +37,37 @@ Carries = Tuple[jnp.ndarray, jnp.ndarray]
 from .pyramid import on_default_tpu as _on_tpu
 
 
+def stride_anchor_plan(t: int, k: int):
+    """Trace-time interpolation plan for ``appearance_stride``.
+
+    Frame f sits at anchor position f/k between anchors floor and
+    floor+1 (clamped — tail frames past the last anchor hold it).
+    Returns (i0 [T], i1 [T], frac [T]) as numpy arrays; shared by the
+    fused path and FeatureExtractor so cached features match exactly.
+    """
+    n = -(-t // k)                             # number of anchors
+    i0 = np.minimum(np.arange(t) // k, n - 1)
+    i1 = np.minimum(i0 + 1, n - 1)
+    frac = np.where(i1 > i0, (np.arange(t) / k) - i0, 0.0)
+    return i0.astype(np.int32), i1.astype(np.int32), \
+        frac.astype(np.float32)
+
+
+def interp_anchor_features(emb: jnp.ndarray, t: int, k: int
+                           ) -> jnp.ndarray:
+    """[B, N, F] anchor embeddings -> [B, T, F] per-frame embeddings.
+
+    Gather + lerp (NOT a matmul): anchors stay bit-exact in any dtype
+    (a default-precision f32 einsum on TPU would bf16-round them), and
+    the embedding dtype is preserved (fracs cast to it).
+    """
+    i0, i1, frac = stride_anchor_plan(t, k)
+    w = jnp.asarray(frac).astype(emb.dtype)[None, :, None]
+    a = jnp.take(emb, jnp.asarray(i0), axis=1)
+    bb = jnp.take(emb, jnp.asarray(i1), axis=1)
+    return a * (1 - w) + bb * w
+
+
 class Mimamo:
     """Bundles config + module defs + jitted programs.
 
@@ -84,20 +115,9 @@ class Mimamo:
         k = self.config.backbone.appearance_stride
         if k > 1 and t > 1:
             crops_rgb = crops_rgb[:, ::k]
-            n = crops_rgb.shape[1]
         emb = self._embed_every(variables, crops_rgb)
         if k > 1 and t > 1:
-            # trace-time interpolation matrix [T, N]: frame t sits at
-            # anchor position t/k
-            w = np.zeros((t, n), np.float32)
-            for f in range(t):
-                p = f / k
-                i0 = min(int(np.floor(p)), n - 1)
-                i1 = min(i0 + 1, n - 1)
-                frac = p - i0 if i1 > i0 else 0.0
-                w[f, i0] += 1.0 - frac
-                w[f, i1] += frac
-            emb = jnp.einsum("bnf,tn->btf", emb, jnp.asarray(w))
+            emb = interp_anchor_features(emb, t, k)
         return emb
 
     def _embed_every(self, variables: Variables,

@@ -69,6 +69,29 @@ class TestFeatureExtractor:
         # ~1e-4 on O(50) pool5 activations — relative ~2e-6
         np.testing.assert_allclose(feats, want, rtol=1e-5, atol=1e-3)
 
+    def test_extract_stride_uses_global_anchor_plan(self, video,
+                                                    tmp_path):
+        """appearance_stride > 1: extract must anchor over the WHOLE
+        video, not per internal batch — a batch-local plan would hold
+        the batch's last anchor at every 64-frame boundary."""
+        import dataclasses
+        cfg = tiny_config()
+        cfg2 = dataclasses.replace(
+            cfg, backbone=dataclasses.replace(cfg.backbone,
+                                              appearance_stride=2))
+        vp = api.VideoProcessor(save_size=32, config=cfg)
+        crops_npy = vp.process(video, str(tmp_path / "ws"))
+        model = Mimamo(cfg2)
+        variables = model.init_variables(jax.random.PRNGKey(0))
+        # batch=4 anchors -> multiple batches over 10 frames' 5 anchors
+        fx = api.FeatureExtractor(config=cfg2, variables=variables,
+                                  batch_size=4)
+        feats = np.load(fx.extract(crops_npy))
+        crops = np.load(crops_npy)
+        want = np.asarray(model.embed_frames(
+            variables, jnp.asarray(crops)[None]))[0]
+        np.testing.assert_allclose(feats, want, rtol=1e-5, atol=1e-3)
+
 
 class TestMimamoAPI:
     def test_predict_writes_csv_and_matches_runner(self, video,

@@ -287,6 +287,12 @@ class TestAppearanceStride:
         # frame 5 is past the last anchor (4): holds it
         np.testing.assert_allclose(strided[:, 5], full[:, 4], **tol)
 
+    def test_invalid_stride_rejected(self):
+        import dataclasses
+        from mimamo_tpu.config import BackboneSpec
+        with pytest.raises(ValueError, match="appearance_stride"):
+            BackboneSpec(appearance_stride=0)
+
     def test_full_pipeline_and_outputs_close(self):
         rng = np.random.default_rng(6)
         # slowly-varying clip: strided appearance should barely move
