@@ -147,7 +147,13 @@ class MimamoAPI:
                  variables: Optional[Dict[str, Any]] = None,
                  checkpoint_dir: Optional[str] = None):
         import jax
-        self.model = Mimamo(config or MimamoConfig())
+        from . import checkpoints as _ckpt
+        # A converted checkpoint records its preprocessing convention
+        # (mean / channel order from the source .pth's meta); inherit it
+        # so loading real FER+ weights cannot silently use wrong means.
+        config = _ckpt.apply_backbone_meta(config or MimamoConfig(),
+                                           checkpoint_dir)
+        self.model = Mimamo(config)
         if variables is not None:
             self.variables = variables
         elif checkpoint_dir:

@@ -90,6 +90,94 @@ def load_pth(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def load_pth_meta(path: str) -> Optional[Dict[str, Any]]:
+    """Preprocessing metadata from a MatConvNet-converted ``.pth``, if any.
+
+    albanie pytorch-benchmarks conversions carry a ``meta`` dict
+    (``mean``, ``std``, ``imageSize``, sometimes ``imageOrder``) whose
+    values define the model's expected input convention (SURVEY.md A.5 —
+    0..255 pixels, mean subtraction only). Returns a sanitized
+    ``{"mean": [r, g, b], "std": [...], "image_size": int,
+    "channel_order": "rgb"|"bgr"}`` subset (absent fields omitted), or
+    None when the file carries no meta (a bare state_dict).
+    """
+    try:
+        import torch
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("torch is required to read .pth files") from e
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if not isinstance(obj, dict):
+        return None
+    meta = obj.get("meta")
+    if not isinstance(meta, dict):
+        return None
+    out: Dict[str, Any] = {}
+    for key in ("mean", "std"):
+        v = meta.get(key)
+        if v is not None:
+            v = np.asarray(v, np.float64).reshape(-1)
+            if v.size == 3:
+                out[key] = [float(x) for x in v]
+    size = meta.get("imageSize")
+    if size is not None:
+        size = np.asarray(size).reshape(-1)
+        out["image_size"] = int(size[0])
+    order = meta.get("imageOrder", meta.get("channel_order"))
+    if isinstance(order, str) and order.lower() in ("rgb", "bgr"):
+        out["channel_order"] = order.lower()
+    return out or None
+
+
+_BACKBONE_META_FILE = "backbone_meta.json"
+
+
+def save_backbone_meta(ckpt_dir: str, mean_rgb, channel_order: str) -> str:
+    """Record the backbone preprocessing convention next to a checkpoint.
+
+    ``cli convert`` writes this sidecar from the source ``.pth``'s meta;
+    :func:`apply_backbone_meta` reads it back wherever ``--ckpt`` is
+    consumed, so the classic MatConvNet parity trap (wrong mean /
+    channel order — SURVEY.md A.5) cannot recur once converted.
+    """
+    import json
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(os.path.abspath(ckpt_dir), _BACKBONE_META_FILE)
+    with open(path, "w") as f:
+        json.dump({"mean_rgb": [float(x) for x in mean_rgb],
+                   "channel_order": str(channel_order)}, f)
+    return path
+
+
+def load_backbone_meta(ckpt_dir: str) -> Optional[Dict[str, Any]]:
+    import json
+    path = os.path.join(os.path.abspath(ckpt_dir), _BACKBONE_META_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def apply_backbone_meta(config, ckpt_dir: Optional[str]):
+    """Overlay a checkpoint's recorded preprocessing onto the config.
+
+    Returns ``config`` unchanged when ``ckpt_dir`` is falsy or has no
+    ``backbone_meta.json``. The replace only touches ``mean_rgb`` /
+    ``channel_order`` — tree structure is unaffected, so a state
+    restored against the returned config matches the saved one.
+    """
+    import dataclasses
+    if not ckpt_dir:
+        return config
+    meta = load_backbone_meta(ckpt_dir)
+    if not meta:
+        return config
+    return dataclasses.replace(
+        config, backbone=dataclasses.replace(
+            config.backbone,
+            mean_rgb=tuple(meta["mean_rgb"]),
+            channel_order=meta["channel_order"]))
+
+
 # -- reference two-stream checkpoint mapping --------------------------------
 
 _GRU_KEY = re.compile(

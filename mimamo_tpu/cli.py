@@ -93,8 +93,9 @@ def cmd_predict(args) -> int:
 
 def cmd_extract(args) -> int:
     _setup_backend(args)
+    from . import checkpoints as _ckpt
     from .api import FeatureExtractor, VideoProcessor
-    config = _config(args)
+    config = _ckpt.apply_backbone_meta(_config(args), args.ckpt)
     vp = VideoProcessor(save_size=args.crop_size, config=config)
     crops = vp.process(args.video, args.out_dir, boxes_path=args.boxes,
                        max_frames=args.max_frames, align=args.align,
@@ -284,7 +285,7 @@ def cmd_eval(args) -> int:
     from .data import eval as eval_mod
     from .runner import Mimamo
 
-    config = _config(args)
+    config = checkpoints.apply_backbone_meta(_config(args), args.ckpt)
     model = Mimamo(config)
     state, _tx = train.create_train_state(model, jax.random.PRNGKey(0))
     if args.ckpt:
@@ -309,7 +310,7 @@ def cmd_predict_corpus(args) -> int:
     from .corpus import CorpusRunner
     from .runner import Mimamo
 
-    config = _config(args)
+    config = checkpoints.apply_backbone_meta(_config(args), args.ckpt)
     model = Mimamo(config)
     state, _tx = train.create_train_state(model, jax.random.PRNGKey(0))
     if args.ckpt:
@@ -359,16 +360,59 @@ def cmd_convert(args) -> int:
         return m
 
     config = _config(args)
+    report = {}
+    meta = None
+    if args.backbone_pth:
+        # Preprocessing metadata travels with MatConvNet conversions
+        # (meta['mean'] / imageOrder — SURVEY.md A.5); fold it into the
+        # config BEFORE building the model and record it next to the
+        # checkpoint so --ckpt consumers inherit it automatically.
+        meta = checkpoints.load_pth_meta(args.backbone_pth)
+        if meta:
+            import dataclasses
+            bspec = config.backbone
+            if "mean" in meta:
+                bspec = dataclasses.replace(
+                    bspec, mean_rgb=tuple(meta["mean"]))
+            if "channel_order" in meta:
+                bspec = dataclasses.replace(
+                    bspec, channel_order=meta["channel_order"])
+            config = dataclasses.replace(config, backbone=bspec)
+            report["backbone_meta"] = {
+                "mean_rgb": list(bspec.mean_rgb),
+                "channel_order": bspec.channel_order}
+            if meta.get("std") and any(abs(s - 1.0) > 1e-6
+                                       for s in meta["std"]):
+                print(f"WARNING: checkpoint meta['std'] = {meta['std']} "
+                      f"!= 1 — this importer assumes mean-subtraction-"
+                      f"only preprocessing (SURVEY.md A.5); verify the "
+                      f"source model", file=sys.stderr)
+            if (meta.get("image_size")
+                    and meta["image_size"] != config.backbone.input_size):
+                print(f"note: checkpoint meta imageSize "
+                      f"{meta['image_size']} != --backbone-size "
+                      f"{config.backbone.input_size}; the ResNet is "
+                      f"fully convolutional so weights load either "
+                      f"way, but reference parity uses the meta size",
+                      file=sys.stderr)
     model = Mimamo(config)
     variables = dict(jax.jit(model.init_variables)(
         jax.random.PRNGKey(0)))
-    report = {}
     strict = not args.no_strict
     if args.backbone_pth:
-        from .backbone import load_torch_state_dict
+        from . import backbone as backbone_mod
         sd = checkpoints.load_pth(args.backbone_pth)
-        variables["backbone"] = load_torch_state_dict(
-            sd, rename=json_map(args.backbone_rename), strict=strict)
+        rename = json_map(args.backbone_rename)
+        if rename is None and backbone_mod.looks_like_ferplus_dag(sd):
+            # The advertised zero-JSON path: the dag naming scheme is
+            # deterministic, so the full 267-entry rename is generated
+            # (backbone.ferplus_dag_rename) instead of hand-written.
+            sd = backbone_mod.normalize_dag_state_dict(sd)
+            report["backbone_dag_rename"] = "auto"
+            print("detected resnet50_ferplus_dag naming; applied the "
+                  "built-in rename map", file=sys.stderr)
+        variables["backbone"] = backbone_mod.load_torch_state_dict(
+            sd, rename=rename, strict=strict)
         report["backbone_tensors"] = len(
             jax.tree_util.tree_leaves(variables["backbone"]))
     if args.temporal_pth:
@@ -431,6 +475,10 @@ def cmd_convert(args) -> int:
     state, _ = train.create_train_state(model, jax.random.PRNGKey(0),
                                         variables=variables)
     out = checkpoints.save(args.out, state, step=0)
+    if meta and ("mean" in meta or "channel_order" in meta):
+        checkpoints.save_backbone_meta(args.out,
+                                       config.backbone.mean_rgb,
+                                       config.backbone.channel_order)
     print(json.dumps({**report, "out": out}))
     return 0
 

@@ -88,6 +88,59 @@ class TestImporter:
         assert variables["params"]["conv1"]["kernel"].shape == (7, 7, 3, 64)
 
 
+def make_dag_state_dict(tmodel):
+    """Canonical torch mirror state_dict -> MatConvNet dag-named dict,
+    including the 1x1-conv classifier layout and BN counters the real
+    ``resnet50_ferplus_dag.pth`` would carry."""
+    inv = {v: k for k, v in backbone.ferplus_dag_rename().items()}
+    sd = {}
+    for k, v in tmodel.state_dict().items():
+        arr = v.detach().numpy()
+        if k.endswith("num_batches_tracked"):
+            # name the counter after its dag BN module
+            mod = inv[k.replace("num_batches_tracked", "running_mean")]
+            sd[mod.replace(".running_mean", ".num_batches_tracked")] = arr
+            continue
+        dag = inv[k]
+        if dag == "classifier.weight":
+            arr = arr.reshape(arr.shape + (1, 1))   # dense -> 1x1 conv
+        sd[dag] = arr
+    return sd
+
+
+class TestFerplusDag:
+    def test_rename_covers_canonical_schema_exactly(self):
+        """Every canonical torch key is produced exactly once — the
+        generated map is complete (no hand-written JSON needed) and
+        collision-free."""
+        m = backbone.ferplus_dag_rename()
+        assert sorted(m.values()) == sorted(backbone.torch_key_map())
+        assert len(set(m.values())) == len(m) == 267
+
+    def test_dag_checkpoint_loads_with_zero_json(self):
+        """A full dag-named .pth-style dict converts strictly with the
+        built-in map and matches the torch mirror's forward."""
+        tmodel, fmodel, want_vars = _build_pair(stride_in_1x1=True, seed=7)
+        sd = make_dag_state_dict(tmodel)
+        assert backbone.looks_like_ferplus_dag(sd)
+        variables = backbone.load_torch_state_dict(
+            backbone.normalize_dag_state_dict(sd), strict=True)
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(
+            np.float32))
+        want_emb, want_logits = fmodel.apply(want_vars, x)
+        got_emb, got_logits = fmodel.apply(variables, x)
+        np.testing.assert_allclose(np.asarray(got_emb),
+                                   np.asarray(want_emb), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_logits),
+                                   np.asarray(want_logits), atol=1e-6)
+
+    def test_classifier_squeeze_rejects_non_1x1(self):
+        with pytest.raises(ValueError, match="1x1"):
+            backbone.normalize_dag_state_dict(
+                {"classifier.weight": np.zeros((8, 2048, 3, 3))})
+
+
 class TestPreprocess:
     def test_mean_subtraction_no_scaling(self):
         spec = BackboneSpec(mean_rgb=(10.0, 20.0, 30.0), channel_order="rgb")

@@ -609,6 +609,64 @@ class TestConvertCLI:
         out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["temporal_dropped_for_config"] == 7
 
+    def test_convert_backbone_dag_zero_json(self, tmp_path, capsys):
+        """The real FER+ asset shape: dag-named tensors + meta dict.
+        convert detects the dag schema (no --backbone-rename), applies
+        the generated map strictly, folds meta['mean']/imageOrder into
+        the config, and records a backbone_meta.json sidecar that
+        --ckpt consumers (MimamoAPI) inherit."""
+        import json as _json
+        import torch
+        from mimamo_tpu import cli, checkpoints
+        from oracles import resnet_torch
+        from test_backbone import make_dag_state_dict
+
+        torch.manual_seed(11)
+        tmodel = resnet_torch.ResNet50(num_classes=8,
+                                       stride_in_1x1=True).eval()
+        resnet_torch.randomize_bn_stats(tmodel, seed=11)
+        sd = {k: torch.from_numpy(np.asarray(v))
+              for k, v in make_dag_state_dict(tmodel).items()}
+        pth = str(tmp_path / "resnet50_ferplus_dag.pth")
+        mean = [131.0912, 103.8827, 91.4953]
+        torch.save({"state_dict": sd,
+                    "meta": {"mean": mean, "std": [1.0, 1.0, 1.0],
+                             "imageSize": [224, 224, 3],
+                             "imageOrder": "bgr"}}, pth)
+
+        ckpt = str(tmp_path / "ck_dag")
+        rc = cli.main([
+            "convert", "--backbone-pth", pth, "--out", ckpt,
+            "--crop-size", "32", "--backbone-size", "32",
+            "--pyramid-height", "2", "--orientations", "2",
+            "--phase-size", "16", "--clip-len", "8", "--stride", "4",
+            "--cpu"])
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["backbone_dag_rename"] == "auto"
+        assert out["backbone_meta"]["channel_order"] == "bgr"
+        np.testing.assert_allclose(out["backbone_meta"]["mean_rgb"],
+                                   mean, atol=1e-4)
+        meta = checkpoints.load_backbone_meta(ckpt)
+        assert meta["channel_order"] == "bgr"
+
+        # --ckpt consumers inherit the recorded convention and weights.
+        from mimamo_tpu.api import MimamoAPI
+        from mimamo_tpu.config import (MimamoConfig, PyramidSpec,
+                                       PhaseSpec, ClipSpec, BackboneSpec)
+        cfg = MimamoConfig(
+            pyramid=PyramidSpec(height=2, orientations=2,
+                                input_size=(32, 32)),
+            phase=PhaseSpec(phase_size=16),
+            backbone=BackboneSpec(input_size=32),
+            clip=ClipSpec(clip_len=8, stride=4, crop_size=32))
+        api = MimamoAPI(config=cfg, checkpoint_dir=ckpt)
+        assert api.model.config.backbone.channel_order == "bgr"
+        got = np.asarray(
+            api.variables["backbone"]["params"]["conv1"]["kernel"])
+        want = sd["conv1_7x7_s2.weight"].numpy().transpose(2, 3, 1, 0)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
     def test_convert_requires_some_input(self, tmp_path):
         from mimamo_tpu import cli
         with pytest.raises(SystemExit, match="convert needs"):
