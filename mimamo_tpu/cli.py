@@ -130,13 +130,28 @@ def _dataset(args, config):
 def cmd_train(args) -> int:
     _setup_backend(args)
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
     from . import checkpoints, parallel, train
     from .runner import Mimamo
     from .config import TrainSpec
     import dataclasses
+
+    if args.coordinator:
+        # Must run before any backend use; afterwards jax.devices()
+        # spans the pod slice (SURVEY.md §5 "Distributed communication
+        # backend") and make_mesh() builds the global data mesh.
+        n = parallel.initialize_distributed(args.coordinator,
+                                            args.num_processes,
+                                            args.process_id)
+        if not args.data_parallel:
+            raise SystemExit("multi-host training requires "
+                             "--data-parallel (the global batch is "
+                             "sharded over the pod-slice mesh)")
+        print(f"distributed: process {jax.process_index()} of "
+              f"{jax.process_count()}, {n} global devices",
+              file=sys.stderr)
+    import jax.numpy as jnp
+    import numpy as np
 
     loss_axis = args.loss_axis or (
         "batch" if args.dataset == "omg" else "time")
@@ -155,7 +170,19 @@ def cmd_train(args) -> int:
     if len(ds) == 0:
         raise SystemExit("dataset produced 0 clips (too short sequences?)")
 
-    steps_per_epoch = len(ds) // config.train.batch_size
+    # Per-host input pipeline: each process draws batch/P clips from its
+    # disjoint slice of the (identically shuffled) clip index; the
+    # global batch is assembled in parallel.global_batch. Single host:
+    # nproc == 1 and everything below reduces to the round-2 behavior.
+    nproc, pid = jax.process_count(), jax.process_index()
+    if config.train.batch_size % nproc:
+        raise SystemExit(
+            f"--batch {config.train.batch_size} must be divisible by "
+            f"the process count {nproc}")
+    local_batch = config.train.batch_size // nproc
+    # Identical step counts on every process (a process with one more
+    # index entry must not run an extra collective step -> hang).
+    steps_per_epoch = (len(ds) // nproc) // local_batch
     planned_steps = max(args.epochs * steps_per_epoch, 1)
     tx = train.make_optimizer(config, total_steps=planned_steps)
     state, tx = train.create_train_state(model, jax.random.PRNGKey(
@@ -229,15 +256,22 @@ def cmd_train(args) -> int:
                 for k, v in fetched.items():
                     agg[k] = agg.get(k, 0.0) + float(v)
 
-        for batch in ds.batches(config.train.batch_size, shuffle=True,
+        for batch in ds.batches(local_batch, shuffle=True,
                                 seed=config.train.seed + epoch,
                                 drop_remainder=True,
+                                process_id=pid, process_count=nproc,
                                 stratify=loss_axis == "batch",
                                 features=not augmenting):
-            jb = {k: jnp.asarray(v) for k, v in batch.items()}
-            if mesh is not None:
-                jb = parallel.shard_batch(
-                    parallel.pad_to_multiple(jb, mesh.devices.size), mesh)
+            if n >= steps_per_epoch:
+                break
+            if nproc > 1:
+                jb = parallel.global_batch(batch, mesh)
+            else:
+                jb = {k: jnp.asarray(v) for k, v in batch.items()}
+                if mesh is not None:
+                    jb = parallel.shard_batch(
+                        parallel.pad_to_multiple(jb, mesh.devices.size),
+                        mesh)
             state, metrics = step_fn(state, jb)
             pending.append(metrics)
             n += 1
@@ -589,6 +623,17 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over all devices")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address host:port "
+                        "(jax.distributed.initialize); launch the SAME "
+                        "command on every host with --process-id 0..P-1 "
+                        "(see docs/TRAINING.md). Implies per-process "
+                        "data sharding: each host draws batch/P clips "
+                        "from a disjoint slice")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host: total process count P")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="multi-host: this process's id (0-based)")
     p.add_argument("--eval-root", default=None,
                    help="validation dataset root (enables best-val ckpt)")
     p.add_argument("--eval-manifest", default=None)

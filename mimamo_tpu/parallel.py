@@ -77,6 +77,32 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     return len(jax.devices())
 
 
+def global_batch(local_tree: Any, mesh: Mesh, axis: str = DATA_AXIS,
+                 process_count: Optional[int] = None) -> Any:
+    """Per-process local batches -> globally sharded device arrays.
+
+    The multi-host input-pipeline contract (SURVEY.md §7 step 7): each
+    process draws its OWN [B_local, ...] batch (``datasets.batches``
+    with ``process_id``/``process_count``) and calls this with the same
+    mesh; ``jax.make_array_from_process_local_data`` assembles the
+    global [B_local * P, ...] array whose shards on this process's
+    addressable devices are its local rows — no cross-host data
+    movement, gradients reduce over ICI/DCN via the usual GSPMD psum.
+    On a single process this is exactly :func:`shard_batch` (verified
+    by test), so the train loop uses one code path for 1..P hosts.
+    """
+    nproc = (jax.process_count() if process_count is None
+             else process_count)
+    sh = batch_sharding(mesh, axis)
+
+    def make(x):
+        x = np.asarray(x)
+        gshape = (x.shape[0] * nproc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sh, x, gshape)
+
+    return jax.tree_util.tree_map(make, local_tree)
+
+
 def shard_paths(paths: Sequence[str], process_id: Optional[int] = None,
                 process_count: Optional[int] = None) -> list:
     """Disjoint round-robin split of a work list across host processes.

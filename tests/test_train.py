@@ -195,6 +195,71 @@ class TestTrainStep:
         assert all(np.isfinite(float(v)) for v in metrics.values())
 
 
+class TestMultiHostAssembly:
+    """Multi-host training plumbing (SURVEY.md §7 step 7). Real DCN
+    needs multiple processes; here the 8-virtual-device mesh proves
+    (a) the assembly primitive is exactly shard_batch on one process,
+    and (b) the per-process pipeline (disjoint interleaved dataset
+    slices, assembled in process order — the layout
+    make_array_from_process_local_data produces, since make_mesh's
+    device order is process-contiguous) yields the same loss and
+    updated params as the single-process run over the same clips."""
+
+    def test_global_batch_single_process_equals_shard_batch(self):
+        mesh = parallel.make_mesh()
+        batch = _batch(b=8, seed=7)
+        got = parallel.global_batch(
+            {k: np.asarray(v) for k, v in batch.items()}, mesh)
+        want = parallel.shard_batch(batch, mesh)
+        for k in batch:
+            np.testing.assert_array_equal(np.asarray(got[k]),
+                                          np.asarray(want[k]))
+            assert got[k].sharding.is_equivalent_to(want[k].sharding,
+                                                    got[k].ndim)
+
+    def test_simulated_two_process_loss_parity(self, tmp_path):
+        from mimamo_tpu.data import datasets
+        datasets.make_synthetic_affwild2(str(tmp_path), n_videos=4,
+                                         frames=12, size=32, seed=4)
+        cfg = tiny_config()
+        ds = datasets.AffWild2Dataset(str(tmp_path), clip=cfg.clip)
+        assert len(ds) >= 4
+        model = Mimamo(cfg)
+        state, tx = train.create_train_state(model, jax.random.PRNGKey(2))
+        step = train.make_train_step(model, tx)
+        mesh = parallel.make_mesh(jax.devices()[:4])
+
+        # Single-process reference: one global batch of 4.
+        single = next(iter(ds.batches(4, shuffle=True, seed=9,
+                                      drop_remainder=True)))
+        sb = parallel.shard_batch(
+            {k: jnp.asarray(v) for k, v in single.items()}, mesh)
+        s_ref, m_ref = step(jax.tree_util.tree_map(jnp.copy, state), sb)
+
+        # Two simulated processes: each draws 2 clips from its slice.
+        locals_ = [next(iter(ds.batches(2, shuffle=True, seed=9,
+                                        drop_remainder=True,
+                                        process_id=p, process_count=2)))
+                   for p in range(2)]
+        assembled = {k: np.concatenate([loc[k] for loc in locals_])
+                     for k in locals_[0]}
+        # Same clip multiset as the single-process batch (disjoint slices
+        # of the same shuffled index), just process-interleaved order.
+        key = sorted(float(c.sum()) for c in single["clips"])
+        assert sorted(float(c.sum())
+                      for c in assembled["clips"]) == pytest.approx(key)
+        gb = parallel.shard_batch(
+            {k: jnp.asarray(v) for k, v in assembled.items()}, mesh)
+        s_got, m_got = step(jax.tree_util.tree_map(jnp.copy, state), gb)
+
+        np.testing.assert_allclose(float(m_got["loss"]),
+                                   float(m_ref["loss"]), atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(s_got.params),
+                        jax.tree_util.tree_leaves(s_ref.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+
 class TestAugmentAndSchedules:
     @staticmethod
     def _model(**train_kw):
