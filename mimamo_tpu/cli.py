@@ -358,7 +358,7 @@ def cmd_predict_corpus(args) -> int:
                           batch_clips=args.batch, mesh=mesh,
                           loader_threads=args.threads,
                           use_native=not args.no_native,
-                          smooth=args.smooth)
+                          smooth=args.smooth, align=args.align)
     print(json.dumps(runner.run(paths)))
     return 0
 
@@ -677,6 +677,12 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--smooth", type=int, default=1,
                    help="odd moving-average window over each output "
                         "series (1 = off)")
+    p.add_argument("--align", action="store_true",
+                   help="similarity-align crops from landmark sidecars "
+                        "(<video>.landmarks.npy / .openface.csv, else "
+                        "the built-in eye tracker) — same framing as "
+                        "predict --align; routes through the Python "
+                        "loader")
     _add_common(p)
     p.set_defaults(fn=cmd_predict_corpus)
 

@@ -113,6 +113,38 @@ class TestCorpusRunner:
         assert stats2["videos"] == 0
         assert stats2["resumed_skipped"] == 3
 
+    def test_aligned_corpus_matches_api_predict(self, corpus_dir,
+                                                model_vars, tmp_path):
+        """predict-corpus --align == api.predict(align=True) per frame:
+        the bulk path and the single-video path produce identically
+        framed (device-warped) crops from the same landmark sidecar.
+        use_native=True on purpose — alignment must fall back to the
+        Python stream even when the native loader is built."""
+        root, _lengths = corpus_dir
+        model, variables = model_vars
+        video = str(root / "v2.mp4")
+        t = 20
+        lm = np.zeros((t, 2, 2), np.float32)   # drifting eye pair
+        lm[:, 0, 0] = lm[:, 1, 0] = 18 + 0.25 * np.arange(t)
+        lm[:, 0, 1] = 24 + 0.1 * np.arange(t)
+        lm[:, 1, 1] = 40 + 0.1 * np.arange(t)
+        np.save(video + ".landmarks.npy", lm)
+        try:
+            out_dir = str(tmp_path / "aligned")
+            stats = CorpusRunner(model, variables, out_dir,
+                                 batch_clips=2, use_native=True,
+                                 align=True).run([video])
+            assert stats["videos"] == 1
+            got = np.loadtxt(os.path.join(out_dir, "v2.csv"),
+                             delimiter=",", skiprows=1)[:, 1:]
+            from mimamo_tpu.api import MimamoAPI
+            api = MimamoAPI(config=model.config, variables=variables)
+            want = api.predict(video, align=True)
+            assert got.shape == want.shape == (t, 2)
+            np.testing.assert_allclose(got, want, atol=2e-4)
+        finally:
+            os.remove(video + ".landmarks.npy")
+
     def test_two_process_sharding_disjoint(self, corpus_dir, model_vars,
                                            tmp_path):
         """Two 'processes' over a shared out_dir work disjoint video
