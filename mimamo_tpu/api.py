@@ -171,7 +171,8 @@ class MimamoAPI:
                 max_frames: Optional[int] = None,
                 align: bool = False,
                 landmarks_path: Optional[str] = None,
-                smooth: int = 1) -> np.ndarray:
+                smooth: int = 1,
+                decode_window: int = 256) -> np.ndarray:
         """``align=True`` similarity-aligns crops from landmarks
         (the OpenFace role). Landmark priority: explicit
         ``landmarks_path`` (.npy or raw OpenFace .csv) ->
@@ -179,21 +180,67 @@ class MimamoAPI:
         built-in Haar eye tracker; 68-point sets use the Procrustes fit.
         ``smooth``: odd moving-average window over the output series
         (the reference's postprocess smoothing — SURVEY.md §3.1; 1 =
-        off; overlap-averaged windows already smooth seams)."""
+        off; overlap-averaged windows already smooth seams).
+
+        Host memory is bounded: the video decodes in ``decode_window``-
+        frame windows (box/eye trackers threaded statefully across
+        them, identical to the array-at-once path — tested) and only
+        the device-resident [T, S, S, 3] crops accumulate (~170x
+        smaller than 1080p source frames).
+        """
         if smooth > 1 and smooth % 2 == 0:
             # validate before decode + inference are spent
             raise ValueError(f"smooth window must be odd, got {smooth}")
-        frames, boxes = decode.load_video_with_boxes(
-            video_path, boxes_path=boxes_path, max_frames=max_frames)
-        landmarks = None
-        if align or landmarks_path:
-            landmarks = decode.load_landmarks(
-                video_path, frames.shape[0], landmarks_path)
-            if landmarks is None:
-                landmarks = decode.eye_landmarks(
-                    frames.astype(np.uint8), boxes)
-        series = self.model.predict_video(self.variables, frames, boxes,
-                                          landmarks=landmarks)
+        align = align or bool(landmarks_path)
+        cfg = self.model.config.clip
+        from . import preprocess
+        import jax.numpy as jnp
+        boxes_file = decode.load_boxes_file(video_path, boxes_path)
+        lm_src = (decode.landmark_source(video_path, landmarks_path)
+                  if align else None)
+        tracker = eyes = None
+        crops_parts, t_total = [], 0
+        for frames, start in decode.iter_video(video_path,
+                                               window=decode_window,
+                                               max_frames=max_frames):
+            n = frames.shape[0]
+            boxes = None
+            if boxes_file is not None:
+                if len(boxes_file) < start + n:
+                    raise ValueError(
+                        f"boxes file: {len(boxes_file)} rows but the "
+                        f"video has at least {start + n} frames")
+                boxes = boxes_file[start:start + n]
+            elif not (align and lm_src is not None):
+                # box tracking is only needed when crops come from
+                # boxes, or as the eye tracker's search region
+                if tracker is None:
+                    tracker = decode.BoxTracker(frames.shape[1],
+                                                frames.shape[2])
+                boxes = np.stack([tracker.update(f) for f in frames])
+            if align:
+                if lm_src is not None:
+                    lm = lm_src.read(start, n)
+                else:
+                    if eyes is None:
+                        eyes = decode.EyeTracker()
+                    lm = np.stack([eyes.update(f, b)
+                                   for f, b in zip(frames, boxes)])
+                params = preprocess.similarity_from_landmarks(
+                    lm, cfg.crop_size)
+            else:
+                params = boxes
+            crops_parts.append(self.model.crop_video_chunked(
+                frames, params, align=align))
+            t_total += n
+        if boxes_file is not None and len(boxes_file) != t_total:
+            raise ValueError(
+                f"boxes file: expected shape {(t_total, 4)}, got "
+                f"{boxes_file.shape}")
+        crops = (crops_parts[0] if len(crops_parts) == 1
+                 else jnp.concatenate(crops_parts, axis=0))
+        series = self.model.predict_from_crops(self.variables, crops,
+                                               t_real=t_total)
         series = smooth_series(series, smooth)
         if out_csv:
             _write_csv(out_csv, series)

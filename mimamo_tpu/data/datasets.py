@@ -274,10 +274,20 @@ class OMGEmotionDataset(_ClipDataset):
 
     def utterances(self) -> Iterator[Tuple[int, np.ndarray, np.ndarray]]:
         """(row index, full crop sequence, (v, a) label) per utterance —
-        the evaluation granularity."""
+        the evaluation granularity (materialized; prefer
+        :meth:`utterance_sources` for memory-bounded eval)."""
+        for i, src, label in self.utterance_sources():
+            yield i, src.read_all(), label
+
+    def utterance_sources(self) -> Iterator[
+            Tuple[int, CropSource, np.ndarray]]:
+        """(row index, chunk-readable CropSource, label) per utterance.
+
+        The eval harness reads sources one chunk per feed
+        (``eval.stream_predict_many``), keeping host memory
+        O(streams x chunk) instead of O(streams x T)."""
         for i, (video, utt, v, a) in enumerate(self.rows):
-            yield i, self._sources[i].read_all(), np.asarray(
-                [v, a], np.float32)
+            yield i, self._sources[i], np.asarray([v, a], np.float32)
 
 
 class AffWild2Dataset(_ClipDataset):
@@ -330,11 +340,19 @@ class AffWild2Dataset(_ClipDataset):
 
     def full_videos(self) -> Iterator[
             Tuple[str, np.ndarray, np.ndarray, np.ndarray]]:
-        """(name, crops, labels, mask) per video — frame-level eval."""
+        """(name, crops, labels, mask) per video — frame-level eval
+        (materialized; prefer :meth:`video_sources`)."""
+        for vid, src, labels, mask in self.video_sources():
+            yield vid, src.read_all(), labels, mask
+
+    def video_sources(self) -> Iterator[
+            Tuple[str, CropSource, np.ndarray, np.ndarray]]:
+        """(name, chunk-readable CropSource, labels, mask) per video —
+        memory-bounded counterpart of :meth:`full_videos`."""
         for i, vid in enumerate(self.videos):
             labels = self._labels[i]
             mask = (labels != self.INVALID).all(axis=-1).astype(np.float32)
-            yield (vid, self._sources[i].read_all(),
+            yield (vid, self._sources[i],
                    np.where(labels == self.INVALID, 0.0, labels), mask)
 
 

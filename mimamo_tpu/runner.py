@@ -262,7 +262,23 @@ class Mimamo:
             params = np.asarray(boxes, np.float32)
         crops = self.crop_video_chunked(frames_rgb, params,
                                         align=landmarks is not None)
-        t_real = frames_rgb.shape[0]
+        return self.predict_from_crops(variables, crops,
+                                       t_real=frames_rgb.shape[0],
+                                       batch_clips=batch_clips)
+
+    def predict_from_crops(self, variables: Variables, crops,
+                           t_real: Optional[int] = None,
+                           batch_clips: int = 8) -> np.ndarray:
+        """[T, S, S, 3] aligned crops -> [T, 2] windowed series.
+
+        The back half of :meth:`predict_video` (pad-short, sliding
+        windows, batched clip inference, overlap-averaged merge),
+        shared with the streaming-decode path in ``api.MimamoAPI``
+        which builds crops window-by-window so a long source video
+        never sits in host RAM at once.
+        """
+        cfg = self.config.clip
+        t_real = int(crops.shape[0]) if t_real is None else t_real
         # short videos: one last-crop-padded clip, outputs trimmed below
         crops = preprocess.pad_short_clip(crops, cfg.clip_len)
         windows, starts = preprocess.sliding_windows(
@@ -278,7 +294,7 @@ class Mimamo:
             preds.append(out[:out.shape[0] - pad] if pad else out)
         preds = jnp.concatenate(preds, axis=0)
         merged = preprocess.merge_window_predictions(
-            preds, starts, max(frames_rgb.shape[0], cfg.clip_len))
+            preds, starts, max(t_real, cfg.clip_len))
         return np.asarray(merged[:t_real])
 
     def crop_video_chunked(self, frames_rgb: np.ndarray,

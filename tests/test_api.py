@@ -109,6 +109,21 @@ class TestMimamoAPI:
         want = a.model.predict_video(a.variables, frames, boxes)
         np.testing.assert_allclose(series, want, atol=1e-6)
 
+    def test_streaming_decode_window_invariance(self, tmp_path):
+        """Bounded-window decode must be invisible: a tiny decode_window
+        (box/eye trackers threaded statefully across windows, uneven
+        tail) == one-window decode, for box crops and aligned crops."""
+        path = str(tmp_path / "long.mp4")
+        rng = np.random.default_rng(3)
+        decode.write_video(path, rng.uniform(
+            0, 255, (20, 48, 64, 3)).astype(np.uint8))
+        a = api.MimamoAPI(config=tiny_config())
+        for kw in ({}, {"align": True}):
+            big = a.predict(path, decode_window=256, **kw)
+            small = a.predict(path, decode_window=6, **kw)
+            assert big.shape == (20, 2)
+            np.testing.assert_allclose(small, big, atol=1e-6)
+
     def test_even_smooth_rejected_before_decode(self, tmp_path):
         a = api.MimamoAPI(config=tiny_config())
         with pytest.raises(ValueError, match="odd"):
