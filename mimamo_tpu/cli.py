@@ -531,7 +531,7 @@ def cmd_serve(args) -> int:
         config=_config(args), checkpoint_dir=args.ckpt,
         capacity=args.capacity, chunk=args.chunk,
         stream_dtype=np.uint8 if args.uint8_streams else np.float32,
-        warmup=not args.no_warmup)
+        warmup=not args.no_warmup, allowed_root=args.allowed_root)
     print(json.dumps({"ready": True, "capacity": args.capacity,
                       "chunk": args.chunk}), flush=True)
     serve.run(server)
@@ -716,6 +716,12 @@ def main(argv: Optional[list] = None) -> int:
                    help="ship stream chunks as uint8 (4x less transfer)")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip compiling the stream program at startup")
+    p.add_argument("--allowed-root", default=None,
+                   help="restrict every request path (video/crops/"
+                        "boxes/landmarks/out_csv) to resolve under "
+                        "this directory — REQUIRED if the protocol is "
+                        "exposed to untrusted clients (default: fully "
+                        "trusted local client, no restriction)")
     _add_common(p)
     p.set_defaults(fn=cmd_serve)
 

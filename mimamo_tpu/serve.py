@@ -29,6 +29,22 @@ Protocol (one JSON object per line; responses echo ``id`` if present):
 
 Errors never kill the daemon: any failed request returns
 {"ok": false, "error": "..."} and the loop continues.
+
+Concurrency: ``predict`` (full video decode + inference — seconds to
+minutes) executes on a worker thread so ``stream_feed`` latency stays
+bounded while a predict is in flight; its response may therefore arrive
+AFTER responses to later requests — correlate with ``id``. All other
+commands respond strictly in request order (``run(predict_async=False)``
+restores global ordering).
+
+Trust model: the protocol dereferences client-supplied filesystem paths
+("video", "crops", "boxes", "landmarks", "out_csv") and therefore
+assumes a FULLY TRUSTED client (the daemon is a local co-process, like
+the reference's script invocations). If you wrap it in a socket/HTTP
+layer for untrusted callers, construct the Server with
+``allowed_root=DIR`` (CLI: ``--allowed-root``): every request path must
+then resolve (symlinks included) under that directory, turning the
+file read/write primitives into a sandbox.
 """
 
 from __future__ import annotations
@@ -50,7 +66,10 @@ class Server:
                  variables: Optional[Dict[str, Any]] = None,
                  checkpoint_dir: Optional[str] = None,
                  capacity: int = 8, chunk: int = 16,
-                 stream_dtype=np.float32, warmup: bool = False):
+                 stream_dtype=np.float32, warmup: bool = False,
+                 allowed_root: Optional[str] = None):
+        import os
+        import threading
         from .api import MimamoAPI
         from .streaming import StreamingSession
         self.api = MimamoAPI(config=config, variables=variables,
@@ -61,8 +80,23 @@ class Server:
         self._streams: Dict[str, int] = {}   # user name -> slot
         self._t0 = time.time()
         self._served = 0
+        self._lock = threading.Lock()        # counter; 2 handle() threads
+        self.allowed_root = (os.path.realpath(allowed_root)
+                             if allowed_root else None)
         if warmup:
             self._warmup()
+
+    def _check_path(self, path: str, kind: str) -> str:
+        """Enforce the opt-in path sandbox (see module docstring)."""
+        if self.allowed_root is not None:
+            import os
+            rp = os.path.realpath(str(path))
+            root = self.allowed_root
+            if rp != root and not rp.startswith(root + os.sep):
+                raise ValueError(
+                    f"{kind} path {path!r} resolves outside the "
+                    f"allowed root {root!r}")
+        return path
 
     def _warmup(self) -> None:
         """Compile the streaming program before the first request."""
@@ -91,7 +125,8 @@ class Server:
             resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
         if rid is not None:
             resp["id"] = rid
-        self._served += 1
+        with self._lock:
+            self._served += 1
         return resp
 
     def _cmd_ping(self, req) -> Dict[str, Any]:
@@ -102,6 +137,9 @@ class Server:
                 "uptime_sec": round(time.time() - self._t0, 3)}
 
     def _cmd_predict(self, req) -> Dict[str, Any]:
+        for kind in ("video", "out_csv", "boxes", "landmarks"):
+            if req.get(kind):
+                self._check_path(req[kind], kind)
         series = self.api.predict(
             req["video"], out_csv=req.get("out_csv"),
             boxes_path=req.get("boxes"),
@@ -132,7 +170,7 @@ class Server:
         if name not in self._streams:
             raise ValueError(f"stream {name!r} is not open")
         if "crops" in req:
-            frames = np.load(req["crops"])
+            frames = np.load(self._check_path(req["crops"], "crops"))
         elif "data" in req:
             frames = np.asarray(req["data"], np.float32)
         else:
@@ -160,24 +198,50 @@ class Server:
 
 
 def run(server: Server, fin: Optional[TextIO] = None,
-        fout: Optional[TextIO] = None) -> None:
+        fout: Optional[TextIO] = None, predict_async: bool = True) -> None:
     """Blocking serve loop: read JSON lines from ``fin``, write responses
-    to ``fout`` (defaults: stdin/stdout). Exits on EOF or shutdown."""
+    to ``fout`` (defaults: stdin/stdout). Exits on EOF or shutdown.
+
+    With ``predict_async`` (default), ``predict`` requests run on ONE
+    worker thread (serialized among themselves — a single device is the
+    bottleneck anyway) while the main thread keeps serving stream/ping
+    commands; predict responses are written on completion, so they can
+    interleave after later responses — clients correlate via ``id``.
+    In-flight predicts are drained before the loop returns (EOF or
+    shutdown). ``predict_async=False`` restores the strictly ordered
+    single-threaded round 2 behavior.
+    """
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
     fin = fin or sys.stdin
     fout = fout or sys.stdout
-    for line in fin:
-        line = line.strip()
-        if not line:
-            continue
-        try:
-            req = json.loads(line)
-            if not isinstance(req, dict):
-                raise ValueError("request must be a JSON object")
-        except ValueError as e:
-            resp = {"ok": False, "error": f"bad request line: {e}"}
-        else:
+    wlock = threading.Lock()
+
+    def emit(resp: Dict[str, Any]) -> None:
+        with wlock:
+            fout.write(json.dumps(resp) + "\n")
+            fout.flush()
+
+    pool = ThreadPoolExecutor(max_workers=1) if predict_async else None
+    try:
+        for line in fin:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                req = json.loads(line)
+                if not isinstance(req, dict):
+                    raise ValueError("request must be a JSON object")
+            except ValueError as e:
+                emit({"ok": False, "error": f"bad request line: {e}"})
+                continue
+            if pool is not None and req.get("cmd") == "predict":
+                pool.submit(lambda r=req: emit(server.handle(r)))
+                continue
             resp = server.handle(req)
-        fout.write(json.dumps(resp) + "\n")
-        fout.flush()
-        if resp.get("shutdown"):
-            break
+            emit(resp)
+            if resp.get("shutdown"):
+                break
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=True)   # drain in-flight predicts
