@@ -89,6 +89,11 @@ class BackboneSpec:
     # real per-frame backbone). Streaming chunks anchor per chunk, so
     # for k > 1 chunked-streaming outputs differ slightly from batch
     # prediction of the same frames (anchor grids shift at chunk seams).
+    # Error bar (bench/stride_drift.py, flagship shapes, chunk 16,
+    # smooth drifting clip, random-init weights, 2026-08-17): max
+    # |stream - batch| ~= 0.005 absolute ~= 3.5-3.8% of output std at
+    # k=2 and k=4; drift is provably zero before the first in-chunk
+    # anchor clamp (tests/test_runner.py seam-drift test).
     appearance_stride: int = 1
 
     def __post_init__(self):

@@ -26,6 +26,14 @@ Conventions (documented per SURVEY.md §7 "hard part 1"):
     the half-plane doubling factor 2 (PhaseSpec-independent unit-modulus
     factor: irrelevant for phase *differences*, kept for band parity).
   * FFT normalization: unnormalized forward / 1/N inverse (numpy default).
+  * Legacy ``torch.rfft`` convention (SURVEY.md A.1's last parity trap):
+    the original SCFpyr code called ``torch.rfft(im, 2, onesided=False)``
+    — the legacy API's name notwithstanding, that is the full two-sided
+    unnormalized FFT. The one-sided variant differs only in packing:
+    ``tests/test_pyramid.py::test_legacy_onesided_rfft_route_is_identical``
+    *proves* (float64, incl. non-square sizes) that an rfft2 spectrum
+    explicitly Hermitian-completed drives bit-identical bands, so no
+    convention delta exists for this framework to model.
 """
 
 from __future__ import annotations

@@ -76,17 +76,46 @@ def _ishift(x):
     return torch.fft.ifftshift(x, dim=(-2, -1))
 
 
+def _full_from_onesided(r: torch.Tensor, w: int) -> torch.Tensor:
+    """One-sided rfft2 spectrum [..., H, W//2+1] -> full [..., H, W].
+
+    Explicit Hermitian completion: ``X[i, j] = conj(X[-i mod H,
+    (W - j) mod W])`` for the missing columns — the packing the legacy
+    ``torch.rfft(..., onesided=True)`` API exposed. Reproducing the
+    legacy one-sided route end-to-end (SURVEY.md A.1 parity trap) lets
+    the test suite PROVE the convention coincides with full ``fft2``
+    on these shapes rather than assert it in prose.
+    """
+    h = r.shape[-2]
+    full = torch.zeros(r.shape[:-1] + (w,), dtype=r.dtype)
+    full[..., : w // 2 + 1] = r
+    rows = torch.arange(h).view(-1, 1)
+    cols = torch.arange(w // 2 + 1, w).view(1, -1)
+    full[..., :, w // 2 + 1:] = torch.conj(r[..., (-rows) % h, w - cols])
+    return full
+
+
 def build(im, height: int = 3, nbands: int = 4,
-          complex_factor: bool = True):
+          complex_factor: bool = True, fft_impl: str = "fft2"):
     """im: [H, W] or [B, H, W] float -> dict like mimamo_tpu.pyramid.build.
 
-    Values are numpy float64/complex128 arrays.
+    Values are numpy float64/complex128 arrays. ``fft_impl``:
+    ``"fft2"`` (modern two-sided) or ``"rfft_hermitian"`` (one-sided
+    ``rfft2`` + explicit Hermitian completion — the legacy
+    ``torch.rfft`` spectrum layout); the masks/recursion downstream are
+    identical, so any convention delta would surface in the bands.
     """
     x = torch.as_tensor(np.asarray(im), dtype=torch.float64)
     h, w = x.shape[-2:]
     log_rad, angle = _polar_grids(h, w)
 
-    dft = _shift(torch.fft.fft2(x))
+    if fft_impl == "rfft_hermitian":
+        dft = _shift(_full_from_onesided(
+            torch.fft.rfft2(x).to(torch.complex128), w))
+    elif fft_impl == "fft2":
+        dft = _shift(torch.fft.fft2(x))
+    else:
+        raise ValueError(f"unknown fft_impl {fft_impl!r}")
     hi0 = torch.fft.ifft2(_ishift(dft * _highpass(log_rad, 0.0))).real
 
     cfac = (-1j) ** (nbands - 1) if complex_factor else 1.0

@@ -63,6 +63,32 @@ class TestAgainstOracle:
                 np.asarray(got["bands"][s]), w_np["bands"][s],
                 atol=1e-3 * scale, rtol=0)
 
+    @pytest.mark.parametrize("height,orientations,h,w",
+                             [(3, 4, 64, 64), (2, 6, 32, 48),
+                              (2, 2, 48, 32), (1, 4, 24, 40)])
+    def test_legacy_onesided_rfft_route_is_identical(self, height,
+                                                     orientations, h, w):
+        """SURVEY.md §4 item 1 / A.1 parity trap closed empirically:
+        the legacy torch.rfft one-sided spectrum, explicitly
+        Hermitian-completed, drives the identical-mask oracle to
+        bit-level float64 agreement with the full-fft2 route —
+        including non-square and 2-mod-4 sizes where an fftshift or
+        completion-parity bug would surface. The legacy convention is
+        therefore *proven* (not just argued) to coincide."""
+        im = _rand_frames((2, h, w), seed=11)
+        a = pyramid_torch.build(im, height=height, nbands=orientations,
+                                fft_impl="fft2")
+        b = pyramid_torch.build(im, height=height, nbands=orientations,
+                                fft_impl="rfft_hermitian")
+        for part in ("high", "low"):
+            np.testing.assert_allclose(
+                b[part], a[part], rtol=0,
+                atol=1e-12 * np.abs(a[part]).max())
+        for s in range(height):
+            np.testing.assert_allclose(
+                b["bands"][s], a["bands"][s], rtol=0,
+                atol=1e-12 * np.abs(a["bands"][s]).max())
+
     @pytest.mark.parametrize("orientations", [2, 4, 6])
     def test_orientation_counts(self, orientations):
         spec = PyramidSpec(height=2, orientations=orientations,

@@ -287,6 +287,43 @@ class TestAppearanceStride:
         # frame 5 is past the last anchor (4): holds it
         np.testing.assert_allclose(strided[:, 5], full[:, 4], **tol)
 
+    def test_streaming_seam_drift_localized_and_quantified(self):
+        """k>1 chunked streaming re-anchors per chunk (config.py
+        documents the divergence); pin its STRUCTURE: frames before the
+        first in-chunk anchor clamp are identical to batch prediction
+        (same anchor grid; only cross-program fp noise), and the seam
+        drift on a smooth clip stays a small fraction of the output
+        scale (the error bar quoted in BackboneSpec.appearance_stride
+        docs comes from bench/stride_drift.py on flagship shapes)."""
+        rng = np.random.default_rng(8)
+        t, chunk = 16, 4
+        base = rng.uniform(60, 200, (1, 1, 32, 32, 3))
+        drift = np.linspace(0, 6, t)[None, :, None, None, None]
+        clips = jnp.asarray(np.clip(base + drift, 0, 255).astype(
+            np.float32))
+        variables = Mimamo(self._cfg(1)).init_variables(
+            jax.random.PRNGKey(0))
+        for k in (2, 4):
+            m = Mimamo(self._cfg(k))
+            batch = np.asarray(m.predict_clips(variables, clips))
+            outs, carries = [], None
+            for s in range(0, t, chunk):
+                o, carries = m.predict_stream(
+                    variables, clips[:, s:s + chunk], carries)
+                outs.append(np.asarray(o))
+            stream = np.concatenate(outs, axis=1)
+            # first frame whose in-chunk interpolation clamps (batch
+            # would reach the next global anchor): k*(ceil(c/k)-1)+1
+            f_star = k * (-(-chunk // k) - 1) + 1
+            np.testing.assert_allclose(stream[:, :f_star],
+                                       batch[:, :f_star],
+                                       rtol=1e-5, atol=1e-3)
+            drift_max = np.abs(stream - batch).max()
+            scale = np.abs(batch).max()
+            assert np.isfinite(stream).all()
+            assert drift_max < 0.5 * max(scale, 0.1), (
+                f"k={k}: seam drift {drift_max} vs scale {scale}")
+
     def test_invalid_stride_rejected(self):
         import dataclasses
         from mimamo_tpu.config import BackboneSpec
