@@ -193,9 +193,24 @@ def cmd_train(args) -> int:
     augmenting = (args.augment or args.brightness_jitter > 0
                   or args.finetune_backbone)
     if config.backbone.appearance_stride > 1:
-        print("note: --appearance-stride applies to the frozen-backbone "
-              "embedding path only; it is ignored when fine-tuning or "
-              "training from cached .feat.npy features", file=sys.stderr)
+        print("note: --appearance-stride applies only where the frozen "
+              "backbone runs online; fine-tuning runs the real per-"
+              "frame backbone, and training from cached .feat.npy "
+              "applies no ADDITIONAL stride — but cached features "
+              "inherit whatever stride their extraction config used, "
+              "so they are not automatically stride-free",
+              file=sys.stderr)
+    import os as _os
+    # The cosine horizon must be the ORIGINAL planned run length, not
+    # re-derived per resume: re-spanning over resumed+planned on every
+    # restart would jump the lr discontinuously at each resume and
+    # stretch the decay forever (round-2 advisor finding). The first
+    # run persists its plan next to the checkpoint; resumes rebuild the
+    # schedule over that fixed horizon, extending only when the
+    # restored step has already passed it.
+    plan_path = (args.ckpt.rstrip("/") + ".plan.json" if args.ckpt
+                 else None)
+    horizon = planned_steps
     if args.resume and checkpoints.latest_step(args.ckpt) is not None:
         state = checkpoints.restore(args.ckpt, state)
         resumed = int(np.asarray(state.step))
@@ -204,11 +219,21 @@ def cmd_train(args) -> int:
             # The restored optimizer count is already at ``resumed``; a
             # schedule sized only for this run's steps would spend the
             # whole resumed run past its decay horizon at lr ~= 0.
-            # Re-span it over resumed + planned steps (the opt-state
-            # tree structure is schedule-independent, so the restored
-            # Adam moments stay valid).
-            tx = train.make_optimizer(
-                config, total_steps=resumed + planned_steps)
+            # (The opt-state tree structure is schedule-independent, so
+            # the restored Adam moments stay valid under a rebuilt tx.)
+            horizon = resumed + planned_steps
+            if plan_path and _os.path.exists(plan_path):
+                with open(plan_path) as f:
+                    saved = int(json.load(f)["total_steps"])
+                horizon = (saved if resumed < saved
+                           else resumed + planned_steps)
+            tx = train.make_optimizer(config, total_steps=horizon)
+            print(f"cosine horizon: {horizon} steps", file=sys.stderr)
+    if plan_path and config.train.lr_schedule == "cosine":
+        # persist the effective horizon (fresh plan, or a legacy/
+        # past-horizon resume that extended it) for future resumes
+        with open(plan_path, "w") as f:
+            json.dump({"total_steps": horizon}, f)
     step_fn = train.make_train_step(model, tx)
     mesh = parallel.make_mesh() if args.data_parallel else None
     if mesh is not None and config.train.batch_size % mesh.devices.size:

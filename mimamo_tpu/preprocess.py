@@ -221,7 +221,9 @@ def _umeyama_fit(dst: np.ndarray, src: np.ndarray) -> np.ndarray:
 def similarity_from_landmarks68(landmarks: np.ndarray, out_size: int,
                                 eye_y: float = 0.38, eye_dx: float = 0.28,
                                 template: Optional[np.ndarray] = None,
-                                gpa_iters: int = 3) -> np.ndarray:
+                                gpa_iters: int = 3,
+                                eye_indices: Optional[Tuple[int, int]]
+                                = None) -> np.ndarray:
     """Per-frame similarity transforms from dense (68-point) landmarks.
 
     The reference's OpenFace stage (SURVEY.md §2 "OpenFace") aligns faces
@@ -236,7 +238,11 @@ def similarity_from_landmarks68(landmarks: np.ndarray, out_size: int,
        exact reference framing.
     2. The template is anchored into output pixels by the same eye
        convention as :func:`similarity_from_eyes` (template eye centers
-       at (eye_y, 0.5 -/+ eye_dx) * out_size).
+       at (eye_y, 0.5 -/+ eye_dx) * out_size). For K == 68 the iBUG
+       eye clusters define the centers; other K need
+       ``eye_indices=(left, right)`` for exact framing (without it, the
+       two extremal-x template points stand in, with a UserWarning —
+       approximate for non-eye-like point sets).
     3. Each frame's transform is the least-squares similarity
        (:func:`_umeyama_fit`) from the anchored template to that frame's
        landmarks — an inverse map consumable by :func:`warp_similarity`.
@@ -261,9 +267,24 @@ def similarity_from_landmarks68(landmarks: np.ndarray, out_size: int,
         raise ValueError(f"template shape {template.shape} != {(k, 2)}")
 
     # anchor the template into output pixels via the eye convention
-    if k == 68:
+    if eye_indices is not None:
+        eyes = np.stack([template[eye_indices[0]],
+                         template[eye_indices[1]]])
+    elif k == 68:
         eyes = eyes_from_landmarks68(template[None])[0]
-    else:  # generic landmark sets: anchor by extremal x at mid-height
+    else:
+        # Generic K-point sets: no eye semantics are known, so the two
+        # extremal-x template points stand in for eye centers. For
+        # trackers whose point sets are not eye-like (jaw-contour-heavy
+        # sets etc.) this places crop scale/position only approximately
+        # — pass eye_indices=(left, right) (or an anchored template)
+        # for the documented eye convention (round-2 advisor finding).
+        import warnings
+        warnings.warn(
+            f"{k}-point landmark set: anchoring the crop by the two "
+            f"extremal-x template points as pseudo-eyes; pass "
+            f"eye_indices=(left, right) for exact eye-convention "
+            f"framing", stacklevel=2)
         order = np.argsort(template[:, 1])
         eyes = np.stack([template[order[0]], template[order[-1]]])
     a_m = similarity_from_eyes(eyes[None].astype(np.float32), out_size,

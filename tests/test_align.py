@@ -171,6 +171,26 @@ class TestProcrustesAlignment:
             f"dense fit drift {drift_dense:.3f} not < half of eye-fit "
             f"drift {drift_eyes:.3f}")
 
+    def test_generic_k_warns_and_eye_indices_silences(self):
+        """K != 68 dense sets: the extremal-x pseudo-eye anchor is
+        approximate, so it warns; explicit eye_indices restores the
+        documented eye convention exactly (round-2 advisor finding)."""
+        import warnings
+        import pytest
+        ang = np.linspace(0, 2 * np.pi, 20, endpoint=False)
+        base = np.stack([30 + 20 * np.sin(ang), 30 + 15 * np.cos(ang)],
+                        axis=-1)
+        lm = np.tile(base[None], (2, 1, 1))
+        with pytest.warns(UserWarning, match="pseudo-eyes"):
+            preprocess.similarity_from_landmarks68(lm, 48)
+        # pick two actual points as eyes: no warning, and the anchor
+        # matches the 2-point eye fit applied to those template points
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            a = preprocess.similarity_from_landmarks68(
+                lm, 48, eye_indices=(3, 12))
+        assert a.shape == (2, 2, 3) and np.isfinite(a).all()
+
     def test_dispatcher_shapes(self):
         eyes = np.tile(np.asarray([[[20.0, 15.0], [20.0, 40.0]]],
                                   np.float32), (2, 1, 1))

@@ -427,3 +427,63 @@ class TestCLI:
         assert r.returncode == 0, r.stderr[-2000:]
         out = json.loads(r.stdout.strip().splitlines()[-1])
         assert out["n_utterances"] == 2
+
+    def test_cosine_resume_uses_persisted_horizon(self, tmp_path):
+        """The first cosine run persists its planned horizon next to
+        the checkpoint; a resume rebuilds the schedule over that FIXED
+        horizon instead of re-spanning (round-2 advisor: per-resume
+        re-spanning jumps the lr discontinuously and stretches the
+        decay forever); resuming past the horizon extends it."""
+        import subprocess
+        import sys
+        root = str(tmp_path / "omg")
+        os.makedirs(root)
+        manifest = datasets.make_synthetic_omg(root, n_videos=1,
+                                               n_utts=2, frames=12,
+                                               size=32)
+        ckpt = str(tmp_path / "ck")
+        common = ["--clip-len", "8", "--stride", "4", "--crop-size",
+                  "32", "--backbone-size", "32", "--pyramid-height",
+                  "2", "--phase-size", "16", "--cpu",
+                  "--lr-schedule", "cosine"]
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH="/root/repo",
+                   JAX_COMPILATION_CACHE_DIR=os.environ.get(
+                       "MIMAMO_TEST_CACHE",
+                       "/tmp/jax_cache_mimamo_tests"),
+                   JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="2",
+                   JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="0")
+
+        def train(epochs, resume=False):
+            cmd = [sys.executable, "-m", "mimamo_tpu.cli", "train",
+                   "--dataset", "omg", "--root", root, "--manifest",
+                   manifest, "--ckpt", ckpt, "--epochs", str(epochs),
+                   "--batch", "2"] + common + (
+                       ["--resume"] if resume else [])
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               env=env, cwd="/root/repo", timeout=560)
+            assert r.returncode == 0, r.stderr[-2000:]
+            return r.stderr
+
+        train(epochs=4)   # 4 clips / batch 2 -> 2 steps/epoch, plan 8
+        plan = ckpt + ".plan.json"
+        with open(plan) as f:
+            assert json.load(f)["total_steps"] == 8
+        # Simulate a longer original plan that was interrupted at step 8
+        # (the persisted horizon is the contract, wherever it came from):
+        # a resume below the horizon must rebuild over the SAVED value,
+        # not re-span to resumed + planned.
+        with open(plan, "w") as f:
+            json.dump({"total_steps": 20}, f)
+        err = train(epochs=1, resume=True)
+        assert "cosine horizon: 20 steps" in err
+        with open(plan) as f:
+            assert json.load(f)["total_steps"] == 20
+        # Past the horizon (plan 6 < resumed 10): extends by this run's
+        # planned steps and persists the new horizon.
+        with open(plan, "w") as f:
+            json.dump({"total_steps": 6}, f)
+        err = train(epochs=1, resume=True)
+        assert "cosine horizon: 12 steps" in err
+        with open(plan) as f:
+            assert json.load(f)["total_steps"] == 12
