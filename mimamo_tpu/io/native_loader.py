@@ -24,15 +24,11 @@ _LIB_PATHS = (
 
 
 def _cascade_xml(name: str = "haarcascade_frontalface_default.xml") -> str:
-    try:
-        import cv2
-        path = os.path.join(cv2.data.haarcascades, name)
-        return path if os.path.exists(path) else ""
-    except ImportError:
-        return ""
+    from . import decode
+    return decode.find_cascade_xml(name) or ""
 
 
-_ABI_VERSION = 3
+_ABI_VERSION = 4
 
 
 def _load_lib() -> Optional[ctypes.CDLL]:
@@ -70,6 +66,12 @@ def _load_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float)]
+        lib.ml_detect.restype = ctypes.c_int
+        lib.ml_detect.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int]
         return lib
     return None
 
@@ -79,6 +81,57 @@ _LIB = _load_lib()
 
 def available() -> bool:
     return _LIB is not None
+
+
+class _NativeCascade:
+    """cv2.CascadeClassifier-compatible wrapper over ``ml_detect``.
+
+    Exists because OpenCV 5 python wheels removed the Haar API while the
+    system OpenCV 4 (which this C++ library links) still ships it; the
+    tracker code in ``io.decode`` calls ``detectMultiScale`` and gets
+    cv2-convention ``(x, y, w, h)`` rows either way.
+    """
+
+    _MAX = 64
+
+    def __init__(self, xml_path: str):
+        self._xml = xml_path.encode()
+
+    def ok(self) -> bool:
+        probe = np.zeros((8, 8), np.uint8)
+        return self._call(probe, 1.1, 1, 0) is not None
+
+    def _call(self, gray, scale, neighbors, min_size):
+        gray = np.ascontiguousarray(gray, np.uint8)
+        if gray.ndim != 2:
+            raise ValueError(f"expected a grayscale image, got shape "
+                             f"{gray.shape}")
+        out = np.empty((self._MAX, 4), np.float32)
+        n = _LIB.ml_detect(
+            gray.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            gray.shape[0], gray.shape[1], gray.shape[1], self._xml,
+            float(scale), int(neighbors), int(min_size),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._MAX)
+        return None if n < 0 else out[:n]
+
+    def detectMultiScale(self, gray, scaleFactor=1.1, minNeighbors=3,
+                         minSize=(0, 0)):  # noqa: N802 — cv2 interface
+        rows = self._call(gray, scaleFactor, minNeighbors,
+                          int(minSize[0]) if minSize else 0)
+        if rows is None:
+            raise RuntimeError(f"cascade failed to load: {self._xml!r}")
+        # native rows are (y, x, h, w); cv2 returns (x, y, w, h)
+        return [(int(x), int(y), int(w), int(h)) for y, x, h, w in rows]
+
+
+def cascade(xml_path: str):
+    """A ``detectMultiScale``-capable detector backed by the native
+    library, or None when the library is unbuilt / the XML unloadable."""
+    if _LIB is None or not xml_path:
+        return None
+    det = _NativeCascade(xml_path)
+    return det if det.ok() else None
 
 
 class NativeCorpusLoader:

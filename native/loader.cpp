@@ -20,6 +20,7 @@
 #include <cstdint>
 #include <cstring>
 #include <deque>
+#include <map>
 #include <memory>
 #include <mutex>
 #include <string>
@@ -300,7 +301,53 @@ extern "C" {
 // 3: short-video padding (one last-crop-padded clip for videos
 // with < clip_len frames) — a behavioral contract the Python
 // consumer relies on, so stale builds must be refused.
-int ml_abi_version() { return 3; }
+// 4: ml_detect — per-frame Haar detection for the Python tracker
+// (OpenCV 5 python wheels removed CascadeClassifier; this library is
+// built against the system OpenCV 4, which still ships it).
+int ml_abi_version() { return 4; }
+
+namespace {
+// Loading a Haar XML costs ~10 ms; Python-side per-frame detection
+// calls reuse the parsed classifier. One mutex guards both the map and
+// the detect call: detectMultiScale is not thread-safe on a shared
+// instance, and ctypes callers may arrive from multiple threads.
+std::mutex g_cascade_mu;
+std::map<std::string, cv::CascadeClassifier> g_cascades;
+}  // namespace
+
+// Haar detection on a caller-provided grayscale image (row-major,
+// stride_bytes per row; pass 0 for tightly packed). Boxes are written
+// as (y, x, h, w) float rows. Returns the number written (<= max_boxes),
+// 0 when nothing is found, -1 when the cascade cannot be loaded.
+int ml_detect(const uint8_t* gray, int h, int w, int stride_bytes,
+              const char* cascade_xml, double scale_factor,
+              int min_neighbors, int min_size, float* out_boxes,
+              int max_boxes) {
+  if (!gray || !cascade_xml || !*cascade_xml || h <= 0 || w <= 0 ||
+      max_boxes <= 0)
+    return -1;
+  std::lock_guard<std::mutex> lk(g_cascade_mu);
+  auto it = g_cascades.find(cascade_xml);
+  if (it == g_cascades.end()) {
+    cv::CascadeClassifier c;
+    if (!c.load(cascade_xml)) return -1;
+    it = g_cascades.emplace(cascade_xml, std::move(c)).first;
+  }
+  cv::Mat img(h, w, CV_8UC1, const_cast<uint8_t*>(gray),
+              stride_bytes > 0 ? static_cast<size_t>(stride_bytes)
+                               : static_cast<size_t>(w));
+  std::vector<cv::Rect> found;
+  it->second.detectMultiScale(img, found, scale_factor, min_neighbors, 0,
+                              cv::Size(min_size, min_size));
+  const int n = std::min<int>(static_cast<int>(found.size()), max_boxes);
+  for (int i = 0; i < n; ++i) {
+    out_boxes[4 * i + 0] = static_cast<float>(found[i].y);
+    out_boxes[4 * i + 1] = static_cast<float>(found[i].x);
+    out_boxes[4 * i + 2] = static_cast<float>(found[i].height);
+    out_boxes[4 * i + 3] = static_cast<float>(found[i].width);
+  }
+  return n;
+}
 
 void* ml_corpus_open(const char** paths, int n_videos, int clip_len,
                      int stride, int crop, int queue_cap, int n_threads,
