@@ -79,7 +79,9 @@ def main():
     # multi-buffer builders wedge the relay); (b) block_until_ready is
     # effectively a no-op and deep async queues degrade pathologically,
     # so each iteration synchronously fetches the tiny [B, T, 2] output.
-    @jax.jit
+    from mimamo_tpu.compile import tuned_jit
+
+    @tuned_jit
     def step(variables, clips, salt):
         out, _ = model.forward(variables,
                                clips.astype(jnp.float32) + salt)

@@ -145,8 +145,8 @@ def main() -> int:
         print(json.dumps({"check_max_abs_err": err}))
         assert err < 0.05, "raw-jax stages diverge from flax backbone"
 
-    def timeit(name, fn, x):
-        k = args.chain
+    def timeit(name, fn, x, chain=None):
+        k = chain or args.chain
 
         def chained(salt, x):
             return sum(jnp.sum(fn(x + (salt + 17 * i)
@@ -165,14 +165,50 @@ def main() -> int:
         return (time.perf_counter() - t0) / (args.iters * k)
 
     # -- measured peaks on THIS chip ------------------------------------
+    # Inputs are generated ON DEVICE (host->device of GiB-scale arrays
+    # through the tunnel is minutes).
+    def dev_randn(shape):
+        return jax.jit(
+            lambda: jax.random.normal(jax.random.PRNGKey(1), shape,
+                                      jnp.float32).astype(jnp.bfloat16)
+        )()
+
     gemm_m = 8192
-    a = jnp.asarray(rng.standard_normal((gemm_m, gemm_m)), jnp.bfloat16)
-    dt = timeit("gemm", lambda x: x @ a, a)
+    a = dev_randn((gemm_m, gemm_m))
+    # x @ x (not a closed-over second operand: jit would inline a
+    # device array closure as a constant, i.e. fetch 128 MiB to host)
+    dt = timeit("gemm", lambda x: x @ x, a)
     f_peak = 2.0 * gemm_m ** 3 / dt
-    big = jnp.asarray(rng.standard_normal(128 * 1024 * 1024 // 2),
-                      jnp.bfloat16)         # 128 MiB
-    dt = timeit("add", lambda x: x * 1.0001 + 3.0, big)
-    b_peak = 2.0 * big.size * 2 / dt        # read + write, 2 B/elt
+    # HBM probe: one fused read pass over 2 GiB (x + salt folds into the
+    # reduction — read-only traffic). The array must be big enough that
+    # chain applications dwarf the ~22 ms tunnel dispatch floor;
+    # elementwise CHAINS fuse into one pass, so size (not chain count)
+    # carries the bytes.
+    # Each pass must DEPEND on the previous one's scalar: independent
+    # salted reductions over the same array would multi-output-fuse
+    # into one read pass and inflate the measured bandwidth k-fold.
+    big = dev_randn((1024 * 1024 * 1024,))   # 1G elts = 2 GiB bf16
+    k_bw = 24
+
+    def bw_chained(salt, x):
+        acc = salt
+        for _ in range(k_bw):
+            acc = (jnp.sum((x * (1.0 + acc * 1e-30))
+                           .astype(jnp.float32)) * 1e-20 + acc)
+        return acc
+
+    jitted = jax.jit(bw_chained)
+    float(jitted(jnp.float32(999), big))
+    t0 = time.perf_counter()
+    pending = jitted(jnp.float32(0), big)
+    for j in range(1, args.iters):
+        nxt = jitted(jnp.float32(j), big)
+        float(pending)
+        pending = nxt
+    float(pending)
+    dt = (time.perf_counter() - t0) / (args.iters * k_bw)
+    b_peak = big.size * 2.0 / dt             # read-only, 2 B/elt
+    del big
     print(json.dumps({"measured_peak_tflops": round(f_peak / 1e12, 1),
                       "measured_peak_gbps": round(b_peak / 1e9, 1)}))
 
@@ -191,7 +227,7 @@ def main() -> int:
 
     total_ms = total_bound = 0.0
     for name, fn, shape, fl, by in stages:
-        x = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+        x = dev_randn(shape)
         dt = timeit(name, fn, x)
         t_flop, t_byte = fl / f_peak, by / b_peak
         bound = max(t_flop, t_byte)

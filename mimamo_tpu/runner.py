@@ -26,6 +26,7 @@ import numpy as np
 
 from . import parallel, preprocess
 from .backbone import ResNet50
+from .compile import tuned_jit
 from .config import MimamoConfig
 from .phase import micro_motion_features
 from .temporal import TwoStreamRNN, init_carries
@@ -189,7 +190,7 @@ class Mimamo:
 
     # -- jitted entry points ------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @functools.partial(tuned_jit, static_argnums=0)
     def _predict_clips(self, variables: Variables,
                        crops_rgb: jnp.ndarray) -> jnp.ndarray:
         out, _ = self.forward(variables, crops_rgb)
@@ -200,7 +201,7 @@ class Mimamo:
         """[B, T, S, S, 3] aligned crops -> [B, T, 2], one XLA program."""
         return self._predict_clips(variables, crops_rgb)
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @functools.partial(tuned_jit, static_argnums=0)
     def _predict_stream(self, variables: Variables, crops_rgb: jnp.ndarray,
                         carries: Carries,
                         first_pair_invalid: Optional[jnp.ndarray] = None
@@ -232,7 +233,7 @@ class Mimamo:
         out, new_gru = self._predict_stream(variables, chunk, gru_carries)
         return out, (new_gru, crops_rgb[:, -1:])
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @functools.partial(tuned_jit, static_argnums=0)
     def _predict_clips_with_carries(self, variables, crops_rgb):
         return self.forward(variables, crops_rgb)
 
@@ -328,14 +329,14 @@ class Mimamo:
             pieces.append(out[:n])
         return jnp.concatenate(pieces, axis=0)
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @functools.partial(tuned_jit, static_argnums=0)
     def _crop_video(self, variables: Variables, frames: jnp.ndarray,
                     boxes: jnp.ndarray) -> jnp.ndarray:
         del variables  # crop is parameter-free; kept for API uniformity
         return preprocess.crop_and_resize(frames, boxes,
                                           self.config.clip.crop_size)
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @functools.partial(tuned_jit, static_argnums=0)
     def _align_video(self, variables: Variables, frames: jnp.ndarray,
                      transforms: jnp.ndarray) -> jnp.ndarray:
         del variables

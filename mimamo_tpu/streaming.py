@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .compile import tuned_jit
 from .runner import Mimamo, Variables
 from .temporal import init_carries
 
@@ -155,7 +156,7 @@ class StreamingSession:
         out_np = np.asarray(out)
         return {slot: out_np[slot] for slot in frames_by_slot}
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @functools.partial(tuned_jit, static_argnums=0)
     def _advance(self, variables, x, context, gru, fresh):
         chunk_in = jnp.concatenate([context, x], axis=1)
         return self.model._predict_stream(variables, chunk_in, gru,

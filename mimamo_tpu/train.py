@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import optax
 
 from . import preprocess
+from .compile import tuned_jit
 from .config import MimamoConfig
 from .losses import ccc, ccc_loss
 from .phase import micro_motion_features
@@ -215,7 +216,7 @@ def make_train_step(model: Mimamo, tx: optax.GradientTransformation
         metrics = {"loss": loss, "ccc_v": ccc_vec[0], "ccc_a": ccc_vec[1]}
         return loss, (new_stats, metrics)
 
-    @functools.partial(jax.jit, donate_argnums=0)
+    @functools.partial(tuned_jit, donate_argnums=0)
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         grads, (new_stats, metrics) = jax.grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
