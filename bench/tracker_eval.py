@@ -117,19 +117,24 @@ def run_tracker(frames, gt, mode):
     return np.stack([tr.update(f) for f in frames])
 
 
-def evaluate(frames, gt_boxes, gt_eyes, mode):
-    from mimamo_tpu.io import decode
-    boxes = run_tracker(frames, gt_boxes, mode)
-    # The tracker squares + margin-expands detections (crop framing),
-    # so compare against the same convention: margin-expand the gt.
+def boxes_iou(boxes, gt_boxes):
+    """Per-frame IoU of tracked boxes vs ground truth. The tracker
+    squares + margin-expands detections (crop framing), so each frame
+    scores against max(raw gt, margin-expanded gt)."""
     m = 0.25
     gt_exp = gt_boxes.copy()
     side = gt_boxes[:, 2] * (1 + m)
     gt_exp[:, 0] = gt_boxes[:, 0] - (side - gt_boxes[:, 2]) / 2
     gt_exp[:, 1] = gt_boxes[:, 1] - (side - gt_boxes[:, 3]) / 2
     gt_exp[:, 2] = gt_exp[:, 3] = side
-    ious = np.asarray([max(iou(b, g), iou(b, ge))
+    return np.asarray([max(iou(b, g), iou(b, ge))
                        for b, g, ge in zip(boxes, gt_boxes, gt_exp)])
+
+
+def evaluate(frames, gt_boxes, gt_eyes, mode):
+    from mimamo_tpu.io import decode
+    boxes = run_tracker(frames, gt_boxes, mode)
+    ious = boxes_iou(boxes, gt_boxes)
     ctr_err = np.abs((boxes[:, :2] + boxes[:, 2:] / 2)
                      - (gt_boxes[:, :2] + gt_boxes[:, 2:] / 2))
     row = {"mode": mode,

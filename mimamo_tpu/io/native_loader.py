@@ -28,7 +28,7 @@ def _cascade_xml(name: str = "haarcascade_frontalface_default.xml") -> str:
     return decode.find_cascade_xml(name) or ""
 
 
-_ABI_VERSION = 4
+_ABI_VERSION = 5
 
 
 def _load_lib() -> Optional[ctypes.CDLL]:
@@ -50,7 +50,7 @@ def _load_lib() -> Optional[ctypes.CDLL]:
         lib.ml_corpus_open.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_char_p, ctypes.c_int]
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
         lib.ml_corpus_next.restype = ctypes.c_int
         lib.ml_corpus_next.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
@@ -62,7 +62,7 @@ def _load_lib() -> Optional[ctypes.CDLL]:
         lib.ml_decode_video.restype = ctypes.c_int
         lib.ml_decode_video.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
-            ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float)]
@@ -142,16 +142,20 @@ class NativeCorpusLoader:
 
     def __init__(self, paths: Sequence[str], clip_len: int, stride: int,
                  crop: int, queue_cap: int = 16, n_threads: int = 4,
-                 detect_every: int = 8):
+                 detect_every: int = 8, track: str = "lk"):
         if _LIB is None:
             raise RuntimeError(
                 "native loader not built; run `make -C native`")
+        if track not in ("lk", "hold"):
+            raise ValueError(f"track must be 'lk' or 'hold', got "
+                             f"{track!r}")
         self.clip_len, self.crop = clip_len, crop
         arr = (ctypes.c_char_p * len(paths))(
             *[p.encode() for p in paths])
         self._handle = _LIB.ml_corpus_open(
             arr, len(paths), clip_len, stride, crop, queue_cap, n_threads,
-            _cascade_xml().encode(), detect_every)
+            _cascade_xml().encode(), detect_every,
+            1 if track == "lk" else 0)
         if not self._handle:
             raise RuntimeError("ml_corpus_open failed (bad args?)")
         self._lock = threading.Lock()
@@ -193,7 +197,7 @@ class NativeCorpusLoader:
 
 
 def decode_video_native(path: str, crop: int, max_frames: int = 100000,
-                        detect_every: int = 8
+                        detect_every: int = 8, track: str = "lk"
                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Single video -> ([T, crop, crop, 3] uint8 crops, [T, 4] boxes,
     [T, 2, 2] eye landmarks).
@@ -212,6 +216,7 @@ def decode_video_native(path: str, crop: int, max_frames: int = 100000,
     n = _LIB.ml_decode_video(
         path.encode(), crop, _cascade_xml().encode(),
         _cascade_xml("haarcascade_eye.xml").encode(), detect_every,
+        1 if track == "lk" else 0,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), max_frames,
         boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         eyes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))

@@ -81,3 +81,23 @@ class TestNativeCascade:
 
     def test_bad_xml_returns_none(self):
         assert native_loader.cascade("/nonexistent.xml") is None
+
+    def test_native_lk_beats_hold_on_rendered_video(self, tmp_path):
+        """The C++ tracker's LK mode (ABI 5) follows motion the old
+        hold-last policy loses — through the real video-file path, so
+        decode + detect + flow all run in the native library."""
+        if decode.find_cascade_xml(
+                "haarcascade_frontalface_default.xml") is None:
+            pytest.skip("no cascade xml on this machine")
+        frames, gt, _ = tracker_eval.render_clip(t=32, motion="sine",
+                                                 speed=2.0)
+        path = str(tmp_path / "mv.mp4")
+        decode.write_video(path, frames)
+        ious = {}
+        for track in ("lk", "hold"):
+            _c, boxes, _e = native_loader.decode_video_native(
+                path, 48, track=track)
+            assert boxes.shape == (32, 4)
+            ious[track] = tracker_eval.boxes_iou(boxes, gt).mean()
+        assert ious["lk"] > 0.8, ious
+        assert ious["lk"] > ious["hold"], ious
