@@ -26,6 +26,79 @@ from .io import decode
 from .runner import Mimamo
 
 
+def _windowed_crop_pipeline(model, video_path: str,
+                            boxes_path: Optional[str] = None,
+                            max_frames: Optional[int] = None,
+                            align: bool = False,
+                            landmarks_path: Optional[str] = None,
+                            decode_window: int = 256,
+                            want_boxes: bool = False):
+    """Streaming decode -> track -> (align) -> device crop, bounded host
+    memory: only ``decode_window`` source frames are ever resident; the
+    box/eye trackers thread statefully across windows (identical to the
+    array-at-once path — tested), and only the small [T, S, S, 3]
+    device crops accumulate.
+
+    Returns (crops [T, S, S, 3] device f32, boxes [T, 4] | None,
+    landmarks [T, K, 2] | None). ``want_boxes`` forces box tracking
+    even when alignment comes from a landmark sidecar (the two-step
+    workflow persists boxes for provenance).
+    """
+    import jax.numpy as jnp
+
+    from . import preprocess
+    cfg = model.config.clip
+    boxes_file = decode.load_boxes_file(video_path, boxes_path)
+    lm_src = (decode.landmark_source(video_path, landmarks_path)
+              if align else None)
+    tracker = eyes = None
+    crops_parts, boxes_parts, lm_parts = [], [], []
+    t_total = 0
+    for frames, start in decode.iter_video(video_path,
+                                           window=decode_window,
+                                           max_frames=max_frames):
+        n = frames.shape[0]
+        boxes = None
+        if boxes_file is not None:
+            if len(boxes_file) < start + n:
+                raise ValueError(
+                    f"boxes file: {len(boxes_file)} rows but the "
+                    f"video has at least {start + n} frames")
+            boxes = boxes_file[start:start + n]
+        elif want_boxes or not (align and lm_src is not None):
+            if tracker is None:
+                tracker = decode.BoxTracker(frames.shape[1],
+                                            frames.shape[2])
+            boxes = np.stack([tracker.update(f) for f in frames])
+        if boxes is not None:
+            boxes_parts.append(boxes)
+        if align:
+            if lm_src is not None:
+                lm = lm_src.read(start, n)
+            else:
+                if eyes is None:
+                    eyes = decode.EyeTracker()
+                lm = np.stack([eyes.update(f, b)
+                               for f, b in zip(frames, boxes)])
+            lm_parts.append(lm)
+            params = preprocess.similarity_from_landmarks(
+                lm, cfg.crop_size)
+        else:
+            params = boxes
+        crops_parts.append(model.crop_video_chunked(frames, params,
+                                                    align=align))
+        t_total += n
+    if boxes_file is not None and len(boxes_file) != t_total:
+        raise ValueError(
+            f"boxes file: expected shape {(t_total, 4)}, got "
+            f"{boxes_file.shape}")
+    crops = (crops_parts[0] if len(crops_parts) == 1
+             else jnp.concatenate(crops_parts, axis=0))
+    return (crops,
+            np.concatenate(boxes_parts) if boxes_parts else None,
+            np.concatenate(lm_parts) if lm_parts else None)
+
+
 class VideoProcessor:
     """Decode + face-box + on-device crop/align; writes [T, S, S, 3] npy.
 
@@ -49,36 +122,29 @@ class VideoProcessor:
                 boxes_path: Optional[str] = None,
                 max_frames: Optional[int] = None,
                 align: bool = False,
-                landmarks_path: Optional[str] = None) -> str:
+                landmarks_path: Optional[str] = None,
+                decode_window: int = 256) -> str:
         """``align=True`` writes similarity-ALIGNED crops (OpenFace's
         ``cropped_aligned`` role) from landmarks (priority: explicit
         file -> ``<video>.landmarks.npy`` / ``<video>.openface.csv``
         sidecar -> built-in tracker). Dense (68-point) landmark sets get
         the Procrustes fit, eye pairs the 2-point fit; the landmarks
-        used are saved next to the crops for provenance."""
-        from . import preprocess
-        frames, boxes = decode.load_video_with_boxes(
-            video_path, boxes_path=boxes_path, max_frames=max_frames)
+        used are saved next to the crops for provenance. The video
+        decodes in bounded ``decode_window``-frame windows — host RAM
+        never holds the full source video."""
+        align = align or bool(landmarks_path)
+        crops, boxes, landmarks = _windowed_crop_pipeline(
+            self.model, video_path, boxes_path=boxes_path,
+            max_frames=max_frames, align=align,
+            landmarks_path=landmarks_path, decode_window=decode_window,
+            want_boxes=True)
         os.makedirs(out_dir, exist_ok=True)
         name = os.path.splitext(os.path.basename(video_path))[0]
-        if align or landmarks_path:
-            landmarks = decode.load_landmarks(
-                video_path, frames.shape[0], landmarks_path)
-            if landmarks is None:
-                landmarks = decode.eye_landmarks(
-                    frames.astype(np.uint8), boxes)
-            params = preprocess.similarity_from_landmarks(landmarks,
-                                                          self.save_size)
+        if landmarks is not None:
             np.save(os.path.join(out_dir, name + ".landmarks.npy"),
                     landmarks)
-        else:
-            landmarks, params = None, boxes
-        # chunked: a long full-resolution video must not land in HBM
-        # at once (see runner.crop_video_chunked)
-        crops = np.asarray(self.model.crop_video_chunked(
-            frames, params, align=landmarks is not None))
         out = os.path.join(out_dir, name + ".npy")
-        np.save(out, np.clip(crops, 0, 255).astype(np.uint8))
+        np.save(out, np.clip(np.asarray(crops), 0, 255).astype(np.uint8))
         np.save(os.path.join(out_dir, name + ".boxes.npy"), boxes)
         return out
 
@@ -192,55 +258,11 @@ class MimamoAPI:
             # validate before decode + inference are spent
             raise ValueError(f"smooth window must be odd, got {smooth}")
         align = align or bool(landmarks_path)
-        cfg = self.model.config.clip
-        from . import preprocess
-        import jax.numpy as jnp
-        boxes_file = decode.load_boxes_file(video_path, boxes_path)
-        lm_src = (decode.landmark_source(video_path, landmarks_path)
-                  if align else None)
-        tracker = eyes = None
-        crops_parts, t_total = [], 0
-        for frames, start in decode.iter_video(video_path,
-                                               window=decode_window,
-                                               max_frames=max_frames):
-            n = frames.shape[0]
-            boxes = None
-            if boxes_file is not None:
-                if len(boxes_file) < start + n:
-                    raise ValueError(
-                        f"boxes file: {len(boxes_file)} rows but the "
-                        f"video has at least {start + n} frames")
-                boxes = boxes_file[start:start + n]
-            elif not (align and lm_src is not None):
-                # box tracking is only needed when crops come from
-                # boxes, or as the eye tracker's search region
-                if tracker is None:
-                    tracker = decode.BoxTracker(frames.shape[1],
-                                                frames.shape[2])
-                boxes = np.stack([tracker.update(f) for f in frames])
-            if align:
-                if lm_src is not None:
-                    lm = lm_src.read(start, n)
-                else:
-                    if eyes is None:
-                        eyes = decode.EyeTracker()
-                    lm = np.stack([eyes.update(f, b)
-                                   for f, b in zip(frames, boxes)])
-                params = preprocess.similarity_from_landmarks(
-                    lm, cfg.crop_size)
-            else:
-                params = boxes
-            crops_parts.append(self.model.crop_video_chunked(
-                frames, params, align=align))
-            t_total += n
-        if boxes_file is not None and len(boxes_file) != t_total:
-            raise ValueError(
-                f"boxes file: expected shape {(t_total, 4)}, got "
-                f"{boxes_file.shape}")
-        crops = (crops_parts[0] if len(crops_parts) == 1
-                 else jnp.concatenate(crops_parts, axis=0))
-        series = self.model.predict_from_crops(self.variables, crops,
-                                               t_real=t_total)
+        crops, _boxes, _lm = _windowed_crop_pipeline(
+            self.model, video_path, boxes_path=boxes_path,
+            max_frames=max_frames, align=align,
+            landmarks_path=landmarks_path, decode_window=decode_window)
+        series = self.model.predict_from_crops(self.variables, crops)
         series = smooth_series(series, smooth)
         if out_csv:
             _write_csv(out_csv, series)

@@ -353,8 +353,17 @@ def cmd_eval(args) -> int:
     ds = _dataset(args, config)
     fn = (eval_mod.evaluate_omg if args.dataset == "omg"
           else eval_mod.evaluate_affwild2)
+    mesh = None
+    if args.data_parallel:
+        from . import parallel
+        mesh = parallel.make_mesh()
+        if args.batch_streams % mesh.devices.size:
+            raise SystemExit(
+                f"--batch-streams {args.batch_streams} must be "
+                f"divisible by the device count {mesh.devices.size} "
+                f"for --data-parallel")
     out = fn(model, variables, ds, chunk=config.clip.clip_len,
-             batch_streams=args.batch_streams)
+             batch_streams=args.batch_streams, mesh=mesh)
     print(json.dumps(out))
     return 0
 
@@ -682,6 +691,10 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--batch-streams", type=int, default=8,
                    help="sequences advanced together per device "
                         "dispatch (batch-of-streams eval)")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the batch-of-streams slot axis over "
+                        "all devices (batch-streams must divide the "
+                        "device count)")
     _add_common(p)
     p.set_defaults(fn=cmd_eval)
 

@@ -66,7 +66,8 @@ def _read_piece(src, start: int, count: int) -> np.ndarray:
 
 def stream_predict_many(model: Mimamo, variables,
                         items: Iterable[Tuple[object, np.ndarray]],
-                        chunk: int = 48, batch_streams: int = 8
+                        chunk: int = 48, batch_streams: int = 8,
+                        mesh=None
                         ) -> Iterator[Tuple[object, np.ndarray]]:
     """Per-frame predictions for many sequences, batched over streams.
 
@@ -88,8 +89,10 @@ def stream_predict_many(model: Mimamo, variables,
     """
     from ..streaming import StreamingSession
     it = iter(items)
+    # mesh: shard the batch-of-streams slot axis over devices (the eval
+    # counterpart of predict_batch; slot count must divide the mesh).
     session = StreamingSession(model, variables, capacity=batch_streams,
-                               chunk=chunk)
+                               chunk=chunk, mesh=mesh)
     active: Dict[int, dict] = {}   # slot -> {key, src, len, off, parts}
     exhausted = False
     while True:
@@ -125,7 +128,7 @@ def stream_predict_many(model: Mimamo, variables,
 
 
 def evaluate_omg(model: Mimamo, variables, dataset: OMGEmotionDataset,
-                 chunk: int = 48, batch_streams: int = 8
+                 chunk: int = 48, batch_streams: int = 8, mesh=None
                  ) -> Dict[str, float]:
     """Utterance-level CCC for valence and arousal."""
     labels = {}
@@ -139,7 +142,8 @@ def evaluate_omg(model: Mimamo, variables, dataset: OMGEmotionDataset,
     preds, golds = [], []
     for i, series in stream_predict_many(model, variables, items(),
                                          chunk=chunk,
-                                         batch_streams=batch_streams):
+                                         batch_streams=batch_streams,
+                                         mesh=mesh):
         preds.append(series.mean(axis=0))
         golds.append(labels[i])
     ccc = ccc_np(np.stack(preds), np.stack(golds))
@@ -148,7 +152,7 @@ def evaluate_omg(model: Mimamo, variables, dataset: OMGEmotionDataset,
 
 
 def evaluate_affwild2(model: Mimamo, variables, dataset: AffWild2Dataset,
-                      chunk: int = 48, batch_streams: int = 8
+                      chunk: int = 48, batch_streams: int = 8, mesh=None
                       ) -> Dict[str, float]:
     """Frame-level CCC over all valid frames of all videos."""
     meta = {}
@@ -162,7 +166,8 @@ def evaluate_affwild2(model: Mimamo, variables, dataset: AffWild2Dataset,
     preds, golds = [], []
     for vid, series in stream_predict_many(model, variables, items(),
                                            chunk=chunk,
-                                           batch_streams=batch_streams):
+                                           batch_streams=batch_streams,
+                                           mesh=mesh):
         labels, mask = meta[vid]
         valid = mask > 0
         preds.append(series[valid])

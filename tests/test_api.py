@@ -38,6 +38,18 @@ class TestVideoProcessor:
         boxes = np.load(out.replace("clip.npy", "clip.boxes.npy"))
         assert boxes.shape == (10, 4)
 
+    def test_process_decode_window_invariance(self, video, tmp_path):
+        """VideoProcessor.process streams the decode in bounded windows;
+        tiny windows must write byte-identical crops/boxes to a
+        one-window pass (trackers threaded across windows)."""
+        vp = api.VideoProcessor(save_size=32, config=tiny_config())
+        a = vp.process(video, str(tmp_path / "w256"))
+        b = vp.process(video, str(tmp_path / "w4"), decode_window=4)
+        np.testing.assert_array_equal(np.load(a), np.load(b))
+        np.testing.assert_array_equal(
+            np.load(a.replace("clip.npy", "clip.boxes.npy")),
+            np.load(b.replace("clip.npy", "clip.boxes.npy")))
+
     def test_process_align_writes_landmarks(self, video, tmp_path):
         vp = api.VideoProcessor(save_size=32, config=tiny_config())
         out = vp.process(video, str(tmp_path / "aligned"), align=True)

@@ -265,6 +265,28 @@ class TestBatchedEval:
             np.testing.assert_allclose(got[key], want, atol=1e-4)
 
 
+    def test_mesh_sharded_eval_matches_single(self, tmp_path):
+        """evaluate_omg over a 4-device mesh (slot axis sharded) ==
+        single-device eval — the CLI's `eval --data-parallel` path."""
+        import jax
+        from mimamo_tpu import parallel
+        root = str(tmp_path / "omgm")
+        manifest = datasets.make_synthetic_omg(root, n_videos=2,
+                                               n_utts=2, frames=14,
+                                               size=32)
+        cfg = tiny_config(clip_len=4, stride=4)
+        ds = datasets.OMGEmotionDataset(root, manifest, cfg.clip)
+        model = Mimamo(cfg)
+        variables = model.init_variables(jax.random.PRNGKey(2))
+        single = eval_mod.evaluate_omg(model, variables, ds, chunk=4,
+                                       batch_streams=4)
+        mesh = parallel.make_mesh(jax.devices()[:4])
+        sharded = eval_mod.evaluate_omg(model, variables, ds, chunk=4,
+                                        batch_streams=4, mesh=mesh)
+        assert sharded["n_utterances"] == single["n_utterances"] == 4
+        for k in ("valence_ccc", "arousal_ccc"):
+            np.testing.assert_allclose(sharded[k], single[k], atol=1e-4)
+
     def test_chunk_readable_sources_bounded_reads(self):
         """stream_predict_many pulls chunk-readable sources one chunk
         per feed (host memory O(streams x chunk), VERDICT round 2 weak
