@@ -51,6 +51,18 @@ def _windowed_crop_pipeline(model, video_path: str,
     boxes_file = decode.load_boxes_file(video_path, boxes_path)
     lm_src = (decode.landmark_source(video_path, landmarks_path)
               if align else None)
+    params_all = None
+    if lm_src is not None and lm_src.lm.shape[1] > 2:
+        # Dense (Procrustes) alignment derives its template from the
+        # WHOLE landmark set; fitting per decode window would give each
+        # window a different template (seam jumps, decode_window-
+        # dependent crops). Fit once over the full sidecar (trimmed to
+        # max_frames), slice per window below. Landmark sidecars are
+        # tiny — this costs no meaningful memory.
+        lm_all = (lm_src.lm if max_frames is None
+                  else lm_src.lm[:max_frames])
+        params_all = preprocess.similarity_from_landmarks(
+            lm_all, cfg.crop_size)
     tracker = eyes = None
     crops_parts, boxes_parts, lm_parts = [], [], []
     t_total = 0
@@ -81,8 +93,18 @@ def _windowed_crop_pipeline(model, video_path: str,
                 lm = np.stack([eyes.update(f, b)
                                for f, b in zip(frames, boxes)])
             lm_parts.append(lm)
-            params = preprocess.similarity_from_landmarks(
-                lm, cfg.crop_size)
+            if params_all is not None:       # dense: whole-video fit
+                if len(params_all) < start + n:
+                    # only reachable for hold-last-padded CSV sidecars
+                    # (npy would have raised in lm_src.read above)
+                    idx = np.minimum(np.arange(start, start + n),
+                                     len(params_all) - 1)
+                    params = params_all[idx]
+                else:
+                    params = params_all[start:start + n]
+            else:                            # eye pairs: per-frame fit
+                params = preprocess.similarity_from_landmarks(
+                    lm, cfg.crop_size)
         else:
             params = boxes
         crops_parts.append(model.crop_video_chunked(frames, params,

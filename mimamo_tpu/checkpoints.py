@@ -65,19 +65,15 @@ def latest_step(path: str) -> Optional[int]:
         return mgr.latest_step()
 
 
-def load_pth(path: str) -> Dict[str, np.ndarray]:
-    """Load a torch ``.pth``/``.pt`` checkpoint into name -> numpy arrays.
-
-    Accepts either a raw ``state_dict`` or a dict containing one under a
-    conventional key. The real FER+/MIMAMO assets are offline-unreachable
-    (SURVEY.md §7 hard part 5); the key-map contract is frozen here and
-    tested against synthetically generated checkpoints.
-    """
+def _torch_load(path: str):
     try:
         import torch
     except ImportError as e:  # pragma: no cover
         raise RuntimeError("torch is required to read .pth files") from e
-    obj = torch.load(path, map_location="cpu", weights_only=True)
+    return torch.load(path, map_location="cpu", weights_only=True)
+
+
+def _extract_state_dict(obj) -> Dict[str, np.ndarray]:
     for key in ("state_dict", "model", "model_state_dict"):
         if isinstance(obj, dict) and key in obj and isinstance(
                 obj[key], dict):
@@ -90,8 +86,28 @@ def load_pth(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def load_pth(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch ``.pth``/``.pt`` checkpoint into name -> numpy arrays.
+
+    Accepts either a raw ``state_dict`` or a dict containing one under a
+    conventional key. The real FER+/MIMAMO assets are offline-unreachable
+    (SURVEY.md §7 hard part 5); the key-map contract is frozen here and
+    tested against synthetically generated checkpoints.
+    """
+    return _extract_state_dict(_torch_load(path))
+
+
+def load_pth_all(path: str
+                 ) -> "tuple[Dict[str, np.ndarray], Optional[Dict]]":
+    """(state_dict, meta) in ONE deserialization — a real FER+ ``.pth``
+    is ~100 MB, and ``cli convert`` needs both."""
+    obj = _torch_load(path)
+    return _extract_state_dict(obj), _extract_meta(obj)
+
+
 def load_pth_meta(path: str) -> Optional[Dict[str, Any]]:
-    """Preprocessing metadata from a MatConvNet-converted ``.pth``, if any.
+    """Preprocessing metadata from a MatConvNet-converted ``.pth``, if
+    any (see :func:`load_pth_all` to read tensors + meta in one pass).
 
     albanie pytorch-benchmarks conversions carry a ``meta`` dict
     (``mean``, ``std``, ``imageSize``, sometimes ``imageOrder``) whose
@@ -101,11 +117,10 @@ def load_pth_meta(path: str) -> Optional[Dict[str, Any]]:
     "channel_order": "rgb"|"bgr"}`` subset (absent fields omitted), or
     None when the file carries no meta (a bare state_dict).
     """
-    try:
-        import torch
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError("torch is required to read .pth files") from e
-    obj = torch.load(path, map_location="cpu", weights_only=True)
+    return _extract_meta(_torch_load(path))
+
+
+def _extract_meta(obj) -> Optional[Dict[str, Any]]:
     if not isinstance(obj, dict):
         return None
     meta = obj.get("meta")

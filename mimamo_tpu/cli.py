@@ -429,13 +429,15 @@ def cmd_convert(args) -> int:
 
     config = _config(args)
     report = {}
-    meta = None
+    meta = backbone_sd = None
     if args.backbone_pth:
-        # Preprocessing metadata travels with MatConvNet conversions
-        # (meta['mean'] / imageOrder — SURVEY.md A.5); fold it into the
-        # config BEFORE building the model and record it next to the
-        # checkpoint so --ckpt consumers inherit it automatically.
-        meta = checkpoints.load_pth_meta(args.backbone_pth)
+        # One deserialization for tensors + meta (a real FER+ .pth is
+        # ~100 MB). Preprocessing metadata travels with MatConvNet
+        # conversions (meta['mean'] / imageOrder — SURVEY.md A.5);
+        # fold it into the config BEFORE building the model and record
+        # it next to the checkpoint so --ckpt consumers inherit it
+        # automatically.
+        backbone_sd, meta = checkpoints.load_pth_all(args.backbone_pth)
         if meta:
             import dataclasses
             bspec = config.backbone
@@ -469,7 +471,7 @@ def cmd_convert(args) -> int:
     strict = not args.no_strict
     if args.backbone_pth:
         from . import backbone as backbone_mod
-        sd = checkpoints.load_pth(args.backbone_pth)
+        sd = backbone_sd
         rename = json_map(args.backbone_rename)
         if rename is None and backbone_mod.looks_like_ferplus_dag(sd):
             # The advertised zero-JSON path: the dag naming scheme is
@@ -693,8 +695,8 @@ def main(argv: Optional[list] = None) -> int:
                         "dispatch (batch-of-streams eval)")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the batch-of-streams slot axis over "
-                        "all devices (batch-streams must divide the "
-                        "device count)")
+                        "all devices (batch-streams must be a "
+                        "multiple of the device count)")
     _add_common(p)
     p.set_defaults(fn=cmd_eval)
 

@@ -228,7 +228,10 @@ def _cascade_detector(name: str):
     cls = getattr(cv2, "CascadeClassifier", None)
     if cls is not None:
         det = cls(xml)
-        return det if not det.empty() else None
+        if not det.empty():
+            return det
+        # fall through: the wheel's loader may reject an XML the
+        # system OpenCV 4 (native path) parses fine
     from . import native_loader
     return native_loader.cascade(xml)
 

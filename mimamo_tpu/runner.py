@@ -284,7 +284,12 @@ class Mimamo:
         crops = preprocess.pad_short_clip(crops, cfg.clip_len)
         windows, starts = preprocess.sliding_windows(
             crops, cfg.clip_len, cfg.stride)
-        preds = []
+        # Depth-2 dispatch pipeline: fetch batch i-1 (tiny [B, T, 2])
+        # while batch i runs, so at most ONE execution is outstanding
+        # per caller thread — the axon tunnel wedges past ~2 outstanding
+        # async executions (CLAUDE.md), and the serve daemon runs this
+        # concurrently with stream feeds on another thread.
+        preds, pending = [], None
         for i in range(0, windows.shape[0], batch_clips):
             batch = windows[i:i + batch_clips]
             pad = batch_clips - batch.shape[0]
@@ -292,10 +297,13 @@ class Mimamo:
                 batch = jnp.pad(batch,
                                 [(0, pad)] + [(0, 0)] * (batch.ndim - 1))
             out = self.predict_clips(variables, batch)
-            preds.append(out[:out.shape[0] - pad] if pad else out)
-        preds = jnp.concatenate(preds, axis=0)
+            if pending is not None:
+                preds.append(np.asarray(pending))
+            pending = out[:out.shape[0] - pad] if pad else out
+        preds.append(np.asarray(pending))
         merged = preprocess.merge_window_predictions(
-            preds, starts, max(t_real, cfg.clip_len))
+            jnp.asarray(np.concatenate(preds, axis=0)), starts,
+            max(t_real, cfg.clip_len))
         return np.asarray(merged[:t_real])
 
     def crop_video_chunked(self, frames_rgb: np.ndarray,

@@ -135,6 +135,21 @@ class TestMimamoAPI:
             small = a.predict(path, decode_window=6, **kw)
             assert big.shape == (20, 2)
             np.testing.assert_allclose(small, big, atol=1e-6)
+        # Dense (Procrustes) sidecar: the GPA template must come from
+        # the WHOLE landmark set, not be re-fit per decode window —
+        # a per-window fit gives every window a different template
+        # (round-3 review finding).
+        ang = np.linspace(0, 2 * np.pi, 68, endpoint=False)
+        base = np.stack([24 + 14 * np.sin(ang), 32 + 18 * np.cos(ang)],
+                        axis=-1)
+        lm = np.stack([base + [0.2 * i, 0.3 * i] for i in range(20)])
+        np.save(path + ".landmarks.npy", lm.astype(np.float32))
+        try:
+            big = a.predict(path, align=True, decode_window=256)
+            small = a.predict(path, align=True, decode_window=6)
+            np.testing.assert_allclose(small, big, atol=1e-6)
+        finally:
+            os.remove(path + ".landmarks.npy")
 
     def test_even_smooth_rejected_before_decode(self, tmp_path):
         a = api.MimamoAPI(config=tiny_config())
