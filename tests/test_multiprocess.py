@@ -1,0 +1,150 @@
+"""REAL multi-process data-parallel training test (2 processes, CPU).
+
+The simulated test (test_train.TestMultiHostAssembly) proves the math;
+this one proves the PLUMBING: two actual processes run
+``jax.distributed.initialize`` against a local coordinator, each with
+2 virtual CPU devices (4 global), draw disjoint dataset slices,
+assemble the global batch via ``parallel.global_batch``
+(``jax.make_array_from_process_local_data``), replicate the train
+state across hosts, and execute one collective train step — the exact
+code path ``cli train --coordinator`` takes (SURVEY.md §7 step 7).
+Loss must match a single-process step over the same clips.
+
+CPU cross-process collectives are an XLA feature that may be absent in
+some builds; an initialization failure (not a wrong result) skips with
+the reason recorded.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = r"""
+import json, sys
+pid, port, root = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+import os
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from mimamo_tpu import parallel
+n = parallel.initialize_distributed(f"127.0.0.1:{port}",
+                                    num_processes=2, process_id=pid)
+assert n == 4, f"expected 4 global devices, got {n}"
+assert jax.process_count() == 2
+import jax.numpy as jnp
+from mimamo_tpu import train
+from mimamo_tpu.config import (BackboneSpec, ClipSpec, MimamoConfig,
+                               PhaseSpec, PyramidSpec, TemporalSpec)
+from mimamo_tpu.data import datasets
+from mimamo_tpu.runner import Mimamo
+
+cfg = MimamoConfig(
+    pyramid=PyramidSpec(height=2, orientations=2, input_size=(32, 32)),
+    phase=PhaseSpec(phase_size=16),
+    backbone=BackboneSpec(input_size=32),
+    temporal=TemporalSpec(micro_cnn_features=(8,), micro_embed_dim=16,
+                          macro_embed_dim=16, gru_hidden=16,
+                          fusion_hidden=16),
+    clip=ClipSpec(clip_len=4, stride=2, crop_size=32))
+ds = datasets.AffWild2Dataset(root, clip=cfg.clip)
+model = Mimamo(cfg)
+state, tx = train.create_train_state(model, jax.random.PRNGKey(2))
+step = train.make_train_step(model, tx)
+mesh = parallel.make_mesh()
+local = next(iter(ds.batches(2, shuffle=True, seed=9,
+                             drop_remainder=True,
+                             process_id=jax.process_index(),
+                             process_count=2)))
+gb = parallel.global_batch(local, mesh)
+state = parallel.replicate(state, mesh)
+state, metrics = step(state, gb)
+out = {"pid": pid, "loss": float(metrics["loss"]),
+       "local_clipsums": sorted(float(c.sum()) for c in local["clips"]),
+       "step": int(jax.device_get(state.step))}
+print("RESULT " + json.dumps(out), flush=True)
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_train_step_matches_single(tmp_path):
+    from mimamo_tpu.data import datasets
+    root = str(tmp_path / "aw2")
+    datasets.make_synthetic_affwild2(root, n_videos=4, frames=10,
+                                     size=32, seed=4)
+    port = _free_port()
+    env = dict(os.environ, PYTHONPATH="/root/repo",
+               JAX_COMPILATION_CACHE_DIR=os.environ.get(
+                   "MIMAMO_TEST_CACHE", "/tmp/jax_cache_mimamo_tests"),
+               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="2",
+               JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="0")
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", WORKER, str(pid), str(port), root],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=env, cwd="/root/repo") for pid in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=420)
+            outs.append((p.returncode, out, err))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("distributed CPU init timed out in this build")
+    for rc, out, err in outs:
+        if rc != 0:
+            if ("distributed" in err.lower()
+                    or "coordination" in err.lower()
+                    or "DEADLINE" in err or "UNIMPLEMENTED" in err):
+                pytest.skip(f"distributed CPU unsupported here: "
+                            f"{err.splitlines()[-1][:200]}")
+            raise AssertionError(f"worker failed (rc={rc}):\n{err[-3000:]}")
+    results = {}
+    for _rc, out, _err in outs:
+        row = json.loads([ln for ln in out.splitlines()
+                          if ln.startswith("RESULT ")][-1][7:])
+        results[row["pid"]] = row
+
+    # Both processes see the same global loss; step advanced.
+    assert results[0]["step"] == results[1]["step"] == 1
+    np.testing.assert_allclose(results[0]["loss"], results[1]["loss"],
+                               atol=1e-6)
+    # Disjoint local slices.
+    s0 = results[0]["local_clipsums"]
+    s1 = results[1]["local_clipsums"]
+    assert not set(np.round(s0, 3)) & set(np.round(s1, 3))
+
+    # Single-process reference over the SAME clips (union of slices,
+    # process-concatenation order = global_batch's device layout).
+    import jax
+    from mimamo_tpu import parallel, train
+    from mimamo_tpu.data import datasets as ds_mod
+    from test_runner import tiny_config
+    cfg = tiny_config(clip_len=4, stride=2)
+    ds = ds_mod.AffWild2Dataset(root, clip=cfg.clip)
+    from mimamo_tpu.runner import Mimamo
+    model = Mimamo(cfg)
+    state, tx = train.create_train_state(model, jax.random.PRNGKey(2))
+    step = train.make_train_step(model, tx)
+    locals_ = [next(iter(ds.batches(2, shuffle=True, seed=9,
+                                    drop_remainder=True,
+                                    process_id=p, process_count=2)))
+               for p in range(2)]
+    batch = {k: np.concatenate([loc[k] for loc in locals_])
+             for k in locals_[0]}
+    import jax.numpy as jnp
+    _s, metrics = step(state, {k: jnp.asarray(v)
+                               for k, v in batch.items()})
+    np.testing.assert_allclose(results[0]["loss"],
+                               float(metrics["loss"]), atol=1e-5)
