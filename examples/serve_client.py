@@ -31,10 +31,18 @@ class DaemonClient:
         banner = json.loads(self.proc.stdout.readline())
         assert banner.get("ready"), banner
 
-    def request(self, **req):
+    def send(self, **req):
+        """Fire a request without waiting (pair with :meth:`read` and
+        an ``id`` — predict responses can arrive out of order)."""
         self.proc.stdin.write(json.dumps(req) + "\n")
         self.proc.stdin.flush()
+
+    def read(self):
         return json.loads(self.proc.stdout.readline())
+
+    def request(self, **req):
+        self.send(**req)
+        return self.read()
 
     def close(self):
         resp = self.request(cmd="shutdown")
@@ -64,20 +72,33 @@ def main():
         os.path.dirname(os.path.abspath(__file__))))
 
     print("ping:", client.request(cmd="ping"))
-    r = client.request(cmd="predict", video=video,
-                       out_csv=os.path.join(args.out_dir, "preds.csv"))
-    print("predict:", json.dumps(r))
 
-    # live stream: feed fixed-size chunks of aligned crops
+    # Async predict + live stream interleaved: the daemon runs predict
+    # on a worker thread, so stream chunks keep flowing while the video
+    # is processed; responses correlate by "id" and the predict
+    # response may arrive after later stream responses.
     client.request(cmd="stream_open", stream="cam0")
+    client.send(cmd="predict", video=video, id="vid",
+                out_csv=os.path.join(args.out_dir, "preds.csv"))
     rng = np.random.default_rng(0)
     for chunk_idx in range(3):
         crops = rng.uniform(0, 255, (8, 32, 32, 3))
-        r = client.request(cmd="stream_feed", stream="cam0",
-                           data=crops.tolist())
-        vals = np.asarray(r["values"])
-        print(f"chunk {chunk_idx}: v/a mean = "
-              f"{vals[:, 0].mean():+.3f} / {vals[:, 1].mean():+.3f}")
+        client.send(cmd="stream_feed", stream="cam0",
+                    id=f"chunk{chunk_idx}", data=crops.tolist())
+    order = []
+    for _ in range(4):                    # 1 predict + 3 feeds
+        r = client.read()
+        order.append(r.get("id"))
+        if r.get("id") == "vid":
+            print("predict:", json.dumps(
+                {k: r[k] for k in ("frames", "valence_mean",
+                                   "arousal_mean") if k in r}))
+        else:
+            vals = np.asarray(r["values"])
+            print(f"{r.get('id')}: v/a mean = "
+                  f"{vals[:, 0].mean():+.3f} / "
+                  f"{vals[:, 1].mean():+.3f}")
+    print("response order (predict interleaves):", order)
     client.request(cmd="stream_close", stream="cam0")
     print("shutdown:", client.close())
 
