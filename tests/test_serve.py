@@ -145,14 +145,29 @@ class TestConcurrentPredict:
         written when done (id-correlated, out of order), while stream
         commands keep flowing on the main thread (VERDICT round 2 weak
         item 1)."""
-        import time as _time
+        import threading
         srv = serve.Server(config=tiny_config(), capacity=2, chunk=4)
 
+        # Deterministic interleave (a wall-clock sleep raced the first
+        # stream-program compile): predict blocks until the feed has
+        # actually been SERVED on the main thread — only possible when
+        # predict runs async on the worker; a sync regression times the
+        # wait out and fails the order assertion below.
+        fed = threading.Event()
+
         def slow_predict(video, **kw):
-            _time.sleep(1.5)
+            fed.wait(timeout=60)
             return np.zeros((5, 2), np.float32)
 
         monkeypatch.setattr(srv.api, "predict", slow_predict)
+        orig_feed = srv._cmd_stream_feed
+
+        def feed_then_flag(req):
+            resp = orig_feed(req)
+            fed.set()
+            return resp
+
+        monkeypatch.setattr(srv, "_cmd_stream_feed", feed_then_flag)
         fin = io.StringIO(
             '{"cmd": "predict", "video": "x.mp4", "id": "P"}\n'
             '{"cmd": "stream_open", "stream": "s", "id": "o"}\n'
@@ -161,9 +176,7 @@ class TestConcurrentPredict:
             '{"cmd": "stream_close", "stream": "s", "id": "c"}\n'
             '{"cmd": "shutdown"}\n')
         fout = io.StringIO()
-        t0 = __import__("time").time()
         serve.run(srv, fin, fout)
-        assert __import__("time").time() - t0 >= 1.5  # predict drained
         lines = [json.loads(x) for x in fout.getvalue().splitlines()]
         order = [l.get("id") for l in lines]
         # stream commands answered BEFORE the in-flight predict finished
