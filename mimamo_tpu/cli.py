@@ -718,11 +718,13 @@ def main(argv: Optional[list] = None) -> int:
                    help="odd moving-average window over each output "
                         "series (1 = off)")
     p.add_argument("--align", action="store_true",
-                   help="similarity-align crops from landmark sidecars "
-                        "(<video>.landmarks.npy / .openface.csv, else "
-                        "the built-in eye tracker) — same framing as "
-                        "predict --align; routes through the Python "
-                        "loader")
+                   help="similarity-align crops — same framing as "
+                        "predict --align. Landmark sidecars "
+                        "(<video>.landmarks.npy / .openface.csv) route "
+                        "through the Python loader for exact parity; "
+                        "without sidecars the C++ loader aligns from "
+                        "its own eye tracker at full threaded "
+                        "throughput")
     _add_common(p)
     p.set_defaults(fn=cmd_predict_corpus)
 

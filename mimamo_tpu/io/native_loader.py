@@ -28,7 +28,7 @@ def _cascade_xml(name: str = "haarcascade_frontalface_default.xml") -> str:
     return decode.find_cascade_xml(name) or ""
 
 
-_ABI_VERSION = 5
+_ABI_VERSION = 6
 
 
 def _load_lib() -> Optional[ctypes.CDLL]:
@@ -50,7 +50,8 @@ def _load_lib() -> Optional[ctypes.CDLL]:
         lib.ml_corpus_open.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int]
         lib.ml_corpus_next.restype = ctypes.c_int
         lib.ml_corpus_next.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
@@ -62,7 +63,7 @@ def _load_lib() -> Optional[ctypes.CDLL]:
         lib.ml_decode_video.restype = ctypes.c_int
         lib.ml_decode_video.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
-            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float)]
@@ -142,7 +143,8 @@ class NativeCorpusLoader:
 
     def __init__(self, paths: Sequence[str], clip_len: int, stride: int,
                  crop: int, queue_cap: int = 16, n_threads: int = 4,
-                 detect_every: int = 8, track: str = "lk"):
+                 detect_every: int = 8, track: str = "lk",
+                 align: bool = False):
         if _LIB is None:
             raise RuntimeError(
                 "native loader not built; run `make -C native`")
@@ -155,7 +157,9 @@ class NativeCorpusLoader:
         self._handle = _LIB.ml_corpus_open(
             arr, len(paths), clip_len, stride, crop, queue_cap, n_threads,
             _cascade_xml().encode(), detect_every,
-            1 if track == "lk" else 0)
+            1 if track == "lk" else 0,
+            _cascade_xml("haarcascade_eye.xml").encode(),
+            1 if align else 0)
         if not self._handle:
             raise RuntimeError("ml_corpus_open failed (bad args?)")
         self._lock = threading.Lock()
@@ -197,7 +201,8 @@ class NativeCorpusLoader:
 
 
 def decode_video_native(path: str, crop: int, max_frames: int = 100000,
-                        detect_every: int = 8, track: str = "lk"
+                        detect_every: int = 8, track: str = "lk",
+                        align: bool = False
                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Single video -> ([T, crop, crop, 3] uint8 crops, [T, 4] boxes,
     [T, 2, 2] eye landmarks).
@@ -216,7 +221,7 @@ def decode_video_native(path: str, crop: int, max_frames: int = 100000,
     n = _LIB.ml_decode_video(
         path.encode(), crop, _cascade_xml().encode(),
         _cascade_xml("haarcascade_eye.xml").encode(), detect_every,
-        1 if track == "lk" else 0,
+        1 if track == "lk" else 0, 1 if align else 0,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), max_frames,
         boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         eyes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))

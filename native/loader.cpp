@@ -236,6 +236,44 @@ struct EyeTracker {
   }
 };
 
+// preprocess.similarity_from_eyes parity: inverse-map similarity from
+// one eye pair ((ly, lx, ry, rx) source pixels), expressed as a
+// cv::warpAffine matrix (WARP_INVERSE_MAP, (x, y) column order) with
+// the python path's pixel-CENTER sampling convention folded into the
+// translation (warp_similarity samples src = A @ (dst + 0.5) - 0.5).
+cv::Mat eye_align_matrix(const float eyes[4], int out_size,
+                         double eye_y = 0.38, double eye_dx = 0.28) {
+  const double ly = eyes[0], lx = eyes[1], ry = eyes[2], rx = eyes[3];
+  const double dly = eye_y * out_size, dlx = (0.5 - eye_dx) * out_size;
+  const double drx = (0.5 + eye_dx) * out_size;
+  const double dvy = 0.0, dvx = drx - dlx;   // canonical eyes level
+  const double svy = ry - ly, svx = rx - lx;
+  const double denom = dvy * dvy + dvx * dvx;
+  const double a = (svy * dvy + svx * dvx) / denom;
+  const double b = (svx * dvy - svy * dvx) / denom;
+  // A in (y, x): src_y = a*y - b*x + ty ; src_x = b*y + a*x + tx
+  const double ty = ly - (a * dly - b * dlx);
+  const double tx = lx - (b * dly + a * dlx);
+  const double ty_c = ty + (a * 0.5 - b * 0.5) - 0.5;
+  const double tx_c = tx + (b * 0.5 + a * 0.5) - 0.5;
+  cv::Mat m(2, 3, CV_64F);
+  m.at<double>(0, 0) = a;
+  m.at<double>(0, 1) = b;
+  m.at<double>(0, 2) = tx_c;
+  m.at<double>(1, 0) = -b;
+  m.at<double>(1, 1) = a;
+  m.at<double>(1, 2) = ty_c;
+  return m;
+}
+
+void align_into(const cv::Mat& rgb, const float eyes[4], int crop,
+                uint8_t* dst) {
+  cv::Mat out(crop, crop, CV_8UC3, dst);
+  cv::warpAffine(rgb, out, eye_align_matrix(eyes, crop),
+                 out.size(), cv::INTER_LINEAR | cv::WARP_INVERSE_MAP,
+                 cv::BORDER_REPLICATE);
+}
+
 void crop_resize_into(const cv::Mat& rgb, const cv::Rect2f& box, int crop,
                       uint8_t* dst) {
   cv::Rect r(static_cast<int>(box.x), static_cast<int>(box.y),
@@ -250,7 +288,9 @@ struct Corpus {
   std::vector<std::string> paths;
   int clip_len, stride, crop, detect_every;
   bool use_lk = true;
+  bool align = false;            // similarity-align via eye landmarks
   std::string cascade_path;
+  std::string eye_cascade_path;
   BoundedQueue queue;
   std::vector<std::thread> workers;
   std::atomic<int> next_video{0};
@@ -263,6 +303,11 @@ struct Corpus {
       tracker.enabled = true;
     tracker.detect_every = detect_every;
     tracker.use_lk = use_lk;
+    EyeTracker eyes;
+    if (align && !eye_cascade_path.empty() &&
+        eyes.cascade.load(eye_cascade_path))
+      eyes.enabled = true;
+    eyes.detect_every = detect_every;
 
     const size_t clip_bytes =
         static_cast<size_t>(clip_len) * crop * crop * 3;
@@ -278,6 +323,7 @@ struct Corpus {
         continue;
       }
       tracker.reset();
+      eyes.reset();
 
       // Sliding window over the decode stream: keep a rolling buffer of
       // the last clip_len cropped frames; emit at every stride.
@@ -289,7 +335,13 @@ struct Corpus {
         cv::cvtColor(bgr, rgb, cv::COLOR_BGR2RGB);
         cv::Rect2f box = tracker.box_for(rgb, frame_idx);
         std::vector<uint8_t> cropped(static_cast<size_t>(crop) * crop * 3);
-        crop_resize_into(rgb, box, crop, cropped.data());
+        if (align) {
+          float eye_buf[4];
+          eyes.eyes_for(rgb, box, frame_idx, eye_buf);
+          align_into(rgb, eye_buf, crop, cropped.data());
+        } else {
+          crop_resize_into(rgb, box, crop, cropped.data());
+        }
         window.push_back(std::move(cropped));
         if (static_cast<int>(window.size()) > clip_len) window.pop_front();
         ++frame_idx;
@@ -374,7 +426,10 @@ extern "C" {
 // ml_corpus_open / ml_decode_video; decode.py-parity parameters) —
 // measured IoU 0.87-0.95 vs 0.74-0.94 for the old hold-last policy
 // (bench/tracker_eval.py).
-int ml_abi_version() { return 5; }
+// 6: similarity-aligned crops on the bulk path (align + eye-cascade
+// args; preprocess.similarity_from_eyes-parity warp incl. the
+// pixel-center convention).
+int ml_abi_version() { return 6; }
 
 namespace {
 // Loading a Haar XML costs ~10 ms; Python-side per-frame detection
@@ -422,7 +477,8 @@ int ml_detect(const uint8_t* gray, int h, int w, int stride_bytes,
 void* ml_corpus_open(const char** paths, int n_videos, int clip_len,
                      int stride, int crop, int queue_cap, int n_threads,
                      const char* cascade_xml, int detect_every,
-                     int use_lk) {
+                     int use_lk, const char* eye_cascade_xml,
+                     int align) {
   if (n_videos <= 0 || clip_len <= 0 || stride <= 0 || crop <= 0)
     return nullptr;
   auto* c = new Corpus();
@@ -432,7 +488,9 @@ void* ml_corpus_open(const char** paths, int n_videos, int clip_len,
   c->crop = crop;
   c->detect_every = detect_every > 0 ? detect_every : 8;
   c->use_lk = use_lk != 0;
+  c->align = align != 0;
   c->cascade_path = cascade_xml ? cascade_xml : "";
+  c->eye_cascade_path = eye_cascade_xml ? eye_cascade_xml : "";
   c->queue.cap = queue_cap > 0 ? queue_cap : 8;
   int n = n_threads > 0 ? n_threads : 4;
   c->active_workers = n;
@@ -475,7 +533,7 @@ void ml_corpus_close(void* handle) {
 // any external (stronger) tracker feed the identical alignment path.
 int ml_decode_video(const char* path, int crop, const char* cascade_xml,
                     const char* eye_cascade_xml, int detect_every,
-                    int use_lk, uint8_t* out, int max_frames,
+                    int use_lk, int align, uint8_t* out, int max_frames,
                     float* out_boxes /* [max_frames, 4] or null */,
                     float* out_eyes /* [max_frames, 4] or null */) {
   cv::VideoCapture cap(path);
@@ -486,7 +544,8 @@ int ml_decode_video(const char* path, int crop, const char* cascade_xml,
   tracker.detect_every = detect_every > 0 ? detect_every : 8;
   tracker.use_lk = use_lk != 0;
   EyeTracker eyes;
-  if (out_eyes && eye_cascade_xml && *eye_cascade_xml &&
+  const bool want_eyes = out_eyes != nullptr || align != 0;
+  if (want_eyes && eye_cascade_xml && *eye_cascade_xml &&
       eyes.cascade.load(eye_cascade_xml))
     eyes.enabled = true;
   eyes.detect_every = tracker.detect_every;
@@ -496,14 +555,20 @@ int ml_decode_video(const char* path, int crop, const char* cascade_xml,
   while (i < max_frames && cap.read(bgr)) {
     cv::cvtColor(bgr, rgb, cv::COLOR_BGR2RGB);
     cv::Rect2f box = tracker.box_for(rgb, i);
-    crop_resize_into(rgb, box, crop, out + frame_bytes * i);
+    float eye_buf[4];
+    if (want_eyes) eyes.eyes_for(rgb, box, i, eye_buf);
+    if (align != 0)
+      align_into(rgb, eye_buf, crop, out + frame_bytes * i);
+    else
+      crop_resize_into(rgb, box, crop, out + frame_bytes * i);
     if (out_boxes) {
       out_boxes[4 * i + 0] = box.y;
       out_boxes[4 * i + 1] = box.x;
       out_boxes[4 * i + 2] = box.height;
       out_boxes[4 * i + 3] = box.width;
     }
-    if (out_eyes) eyes.eyes_for(rgb, box, i, out_eyes + 4 * i);
+    if (out_eyes) std::memcpy(out_eyes + 4 * i, eye_buf,
+                              sizeof(eye_buf));
     ++i;
   }
   return i;

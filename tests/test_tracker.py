@@ -82,6 +82,60 @@ class TestNativeCascade:
     def test_bad_xml_returns_none(self):
         assert native_loader.cascade("/nonexistent.xml") is None
 
+    def test_native_aligned_crops_match_device_warp(self, tmp_path):
+        """C++ alignment (ABI 6) == the Python/device warp pipeline fed
+        the SAME eye landmarks: eye_align_matrix ports
+        similarity_from_eyes (incl. the pixel-center convention) and
+        cv::warpAffine approximates warp_similarity's float bilinear
+        to fixed-point tolerance."""
+        if decode.find_cascade_xml(
+                "haarcascade_frontalface_default.xml") is None:
+            pytest.skip("no cascade xml on this machine")
+        import jax.numpy as jnp
+        from mimamo_tpu import preprocess
+        frames, _gt, _ = tracker_eval.render_clip(t=10,
+                                                  motion="translate",
+                                                  speed=2.0)
+        path = str(tmp_path / "al.mp4")
+        decode.write_video(path, frames)
+        crops, _boxes, eyes = native_loader.decode_video_native(
+            path, 48, align=True)
+        dec = decode.decode_video(path)      # same decoded pixels
+        params = preprocess.similarity_from_eyes(eyes, 48)
+        want = np.asarray(preprocess.warp_similarity(
+            jnp.asarray(dec.astype(np.float32)), jnp.asarray(params),
+            48))
+        diff = np.abs(crops.astype(np.float32) - want)
+        # cv::warpAffine interpolates in 5-bit fixed point; sub-LSB
+        # rounding differences only
+        assert diff.mean() < 1.0, diff.mean()
+        assert np.percentile(diff, 99) < 8, np.percentile(diff, 99)
+
+    def test_corpus_native_align_end_to_end(self, tmp_path):
+        """CorpusRunner(align=True) without sidecars routes through the
+        native aligned loader and produces per-frame CSVs."""
+        if decode.find_cascade_xml(
+                "haarcascade_frontalface_default.xml") is None:
+            pytest.skip("no cascade xml on this machine")
+        import jax
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+        from test_runner import tiny_config
+        from mimamo_tpu.corpus import CorpusRunner
+        from mimamo_tpu.runner import Mimamo
+        frames, _gt, _ = tracker_eval.render_clip(t=14)
+        video = str(tmp_path / "cv.mp4")
+        decode.write_video(video, frames)
+        model = Mimamo(tiny_config(clip_len=8, stride=4))
+        variables = model.init_variables(jax.random.PRNGKey(0))
+        out_dir = str(tmp_path / "out")
+        runner = CorpusRunner(model, variables, out_dir, batch_clips=2,
+                              use_native=True, align=True)
+        assert runner._native_align_ok([video])
+        stats = runner.run([video])
+        assert stats["videos"] == 1 and stats["frames"] == 14
+        rows = open(os.path.join(out_dir, "cv.csv")).read().strip()
+        assert len(rows.splitlines()) == 15
+
     def test_native_lk_beats_hold_on_rendered_video(self, tmp_path):
         """The C++ tracker's LK mode (ABI 5) follows motion the old
         hold-last policy loses — through the real video-file path, so
