@@ -220,25 +220,43 @@ class CorpusRunner:
 
     def _clip_stream(self, paths: Sequence[str]):
         cfg = self.model.config.clip
-        if self.use_native and (not self.align
-                                or self._native_align_ok(paths)):
-            from .io import native_loader
-            if native_loader.available():
+        from .io import native_loader
+        if self.use_native and native_loader.available():
+            if not self.align:
                 with native_loader.NativeCorpusLoader(
                         paths, cfg.clip_len, cfg.stride, cfg.crop_size,
-                        n_threads=self.loader_threads,
-                        align=self.align) as loader:
+                        n_threads=self.loader_threads) as loader:
                     yield from loader
                 return
-        yield from self._python_clip_stream(paths)
+            # Per-VIDEO routing: sidecar videos carry exact landmarks
+            # the C++ path cannot consume, so only they go through the
+            # Python stream (parity with api.predict(align=True));
+            # everything else aligns natively at threaded throughput —
+            # one sidecar must not downgrade a whole corpus.
+            from .io import decode
+            has_sidecar = [decode.landmark_source(p) is not None
+                           for p in paths]
+            native_idx = [i for i, h in enumerate(has_sidecar) if not h]
+            python_idx = [i for i, h in enumerate(has_sidecar) if h]
 
-    def _native_align_ok(self, paths: Sequence[str]) -> bool:
-        """Native alignment (C++ eye tracker + warp) applies only when
-        NO video has a landmark sidecar — sidecars carry exact
-        landmarks the C++ path cannot consume, so they route through
-        the Python stream for parity with api.predict(align=True)."""
-        from .io import decode
-        return all(decode.landmark_source(p) is None for p in paths)
+            def remap(stream, idx):
+                for clip, vi, start in stream:
+                    yield clip, (idx[vi] if vi >= 0
+                                 else ~idx[~vi]), start
+
+            if native_idx:
+                with native_loader.NativeCorpusLoader(
+                        [paths[i] for i in native_idx], cfg.clip_len,
+                        cfg.stride, cfg.crop_size,
+                        n_threads=self.loader_threads,
+                        align=True) as loader:
+                    yield from remap(loader, native_idx)
+            if python_idx:
+                yield from remap(
+                    self._python_clip_stream(
+                        [paths[i] for i in python_idx]), python_idx)
+            return
+        yield from self._python_clip_stream(paths)
 
     def _python_clip_stream(self, paths: Sequence[str]):
         """Pure-Python fallback: sequential decode + boxes + host crop.

@@ -149,10 +149,12 @@ class TestConcurrentPredict:
         srv = serve.Server(config=tiny_config(), capacity=2, chunk=4)
 
         # Deterministic interleave (a wall-clock sleep raced the first
-        # stream-program compile): predict blocks until the feed has
-        # actually been SERVED on the main thread — only possible when
-        # predict runs async on the worker; a sync regression times the
-        # wait out and fails the order assertion below.
+        # stream-program compile): predict blocks until the feed
+        # response has actually been WRITTEN (observed on the output
+        # stream, not merely handled — the worker could otherwise slip
+        # its response in between handle() and emit()). Only async
+        # predict can satisfy this; a sync regression times the wait
+        # out and fails the order assertion below.
         fed = threading.Event()
 
         def slow_predict(video, **kw):
@@ -160,14 +162,14 @@ class TestConcurrentPredict:
             return np.zeros((5, 2), np.float32)
 
         monkeypatch.setattr(srv.api, "predict", slow_predict)
-        orig_feed = srv._cmd_stream_feed
 
-        def feed_then_flag(req):
-            resp = orig_feed(req)
-            fed.set()
-            return resp
+        class FlaggingOut(io.StringIO):
+            def write(self, s):
+                n = super().write(s)
+                if '"id": "f"' in s:
+                    fed.set()
+                return n
 
-        monkeypatch.setattr(srv, "_cmd_stream_feed", feed_then_flag)
         fin = io.StringIO(
             '{"cmd": "predict", "video": "x.mp4", "id": "P"}\n'
             '{"cmd": "stream_open", "stream": "s", "id": "o"}\n'
@@ -175,7 +177,7 @@ class TestConcurrentPredict:
             '"data": ' + json.dumps(_chunk().tolist()) + '}\n'
             '{"cmd": "stream_close", "stream": "s", "id": "c"}\n'
             '{"cmd": "shutdown"}\n')
-        fout = io.StringIO()
+        fout = FlaggingOut()
         serve.run(srv, fin, fout)
         lines = [json.loads(x) for x in fout.getvalue().splitlines()]
         order = [l.get("id") for l in lines]

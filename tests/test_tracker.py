@@ -130,11 +130,28 @@ class TestNativeCascade:
         out_dir = str(tmp_path / "out")
         runner = CorpusRunner(model, variables, out_dir, batch_clips=2,
                               use_native=True, align=True)
-        assert runner._native_align_ok([video])
         stats = runner.run([video])
         assert stats["videos"] == 1 and stats["frames"] == 14
         rows = open(os.path.join(out_dir, "cv.csv")).read().strip()
         assert len(rows.splitlines()) == 15
+
+        # Mixed corpus: a sidecar video routes through the Python
+        # stream (exact landmarks) while the sidecar-free one still
+        # aligns natively — one sidecar must not downgrade the rest.
+        frames2, _g2, _ = tracker_eval.render_clip(t=12, seed=3)
+        video2 = str(tmp_path / "cv2.mp4")
+        decode.write_video(video2, frames2)
+        lm = np.tile(np.asarray([[18.0, 80.0], [18.0, 112.0]],
+                                np.float32), (12, 1, 1))
+        np.save(video2 + ".landmarks.npy", lm)
+        out2 = str(tmp_path / "out2")
+        stats = CorpusRunner(model, variables, out2, batch_clips=2,
+                             use_native=True, align=True).run(
+                                 [video, video2])
+        assert stats["videos"] == 2 and stats["frames"] == 26
+        for name, t in (("cv", 14), ("cv2", 12)):
+            rows = open(os.path.join(out2, name + ".csv")).read()
+            assert len(rows.strip().splitlines()) == t + 1
 
     def test_native_lk_beats_hold_on_rendered_video(self, tmp_path):
         """The C++ tracker's LK mode (ABI 5) follows motion the old
