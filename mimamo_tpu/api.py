@@ -260,7 +260,8 @@ class MimamoAPI:
                 align: bool = False,
                 landmarks_path: Optional[str] = None,
                 smooth: int = 1,
-                decode_window: int = 256) -> np.ndarray:
+                decode_window: int = 256,
+                emotions: bool = False):
         """``align=True`` similarity-aligns crops from landmarks
         (the OpenFace role). Landmark priority: explicit
         ``landmarks_path`` (.npy or raw OpenFace .csv) ->
@@ -274,7 +275,13 @@ class MimamoAPI:
         frame windows (box/eye trackers threaded statefully across
         them, identical to the array-at-once path — tested) and only
         the device-resident [T, S, S, 3] crops accumulate (~170x
-        smaller than 1080p source frames).
+        smaller than 1080p source frames; ~1.4 GB HBM per 10k frames —
+        use the corpus/streaming paths for multi-hour videos).
+
+        ``emotions=True`` additionally runs the FER+ classifier head
+        that rides along with converted ``resnet50_ferplus_dag``
+        checkpoints: returns ``(series, probs [T, 8])`` (class order
+        ``backbone.FERPLUS_CLASSES``) and adds per-class CSV columns.
         """
         if smooth > 1 and smooth % 2 == 0:
             # validate before decode + inference are spent
@@ -286,9 +293,26 @@ class MimamoAPI:
             landmarks_path=landmarks_path, decode_window=decode_window)
         series = self.model.predict_from_crops(self.variables, crops)
         series = smooth_series(series, smooth)
+        probs = self._classify_crops(crops) if emotions else None
         if out_csv:
-            _write_csv(out_csv, series)
-        return series
+            _write_csv(out_csv, series, probs)
+        return (series, probs) if emotions else series
+
+    def _classify_crops(self, crops, batch: int = 64) -> np.ndarray:
+        """[T, S, S, 3] crops -> [T, C] FER+ probabilities; fixed-size
+        batches so ONE program compiles regardless of video length."""
+        import jax.numpy as jnp
+        t = int(crops.shape[0])
+        probs = []
+        for i in range(0, t, batch):
+            piece = crops[i:i + batch]
+            pad = batch - piece.shape[0]
+            if pad:
+                piece = jnp.concatenate(
+                    [piece, jnp.repeat(piece[-1:], pad, axis=0)])
+            out = self.model.classify_frames(self.variables, piece[None])
+            probs.append(np.asarray(out)[0, :batch - pad])
+        return np.concatenate(probs)
 
 
 def smooth_series(series: np.ndarray, window: int) -> np.ndarray:
@@ -304,8 +328,18 @@ def smooth_series(series: np.ndarray, window: int) -> np.ndarray:
                      for d in range(series.shape[1])], axis=-1)
 
 
-def _write_csv(path: str, series: np.ndarray) -> None:
+def _write_csv(path: str, series: np.ndarray,
+               emotion_probs: Optional[np.ndarray] = None) -> None:
+    from .backbone import FERPLUS_CLASSES
     with open(path, "w") as f:
-        f.write("frame,valence,arousal\n")
+        header = "frame,valence,arousal"
+        if emotion_probs is not None:
+            header += "," + ",".join(
+                FERPLUS_CLASSES[:emotion_probs.shape[1]])
+        f.write(header + "\n")
         for i, (v, a) in enumerate(series):
-            f.write(f"{i},{v:.6f},{a:.6f}\n")
+            row = f"{i},{v:.6f},{a:.6f}"
+            if emotion_probs is not None:
+                row += "," + ",".join(f"{p:.4f}"
+                                      for p in emotion_probs[i])
+            f.write(row + "\n")

@@ -77,17 +77,25 @@ def _setup_backend(args) -> None:
 
 def cmd_predict(args) -> int:
     _setup_backend(args)
+    import numpy as np
+
     from .api import MimamoAPI
     api = MimamoAPI(config=_config(args), checkpoint_dir=args.ckpt)
-    series = api.predict(args.video, out_csv=args.out,
-                         boxes_path=args.boxes,
-                         max_frames=args.max_frames, align=args.align,
-                         landmarks_path=args.landmarks,
-                         smooth=args.smooth)
-    print(json.dumps({"frames": len(series),
-                      "valence_mean": float(series[:, 0].mean()),
-                      "arousal_mean": float(series[:, 1].mean()),
-                      "out": args.out}))
+    out = api.predict(args.video, out_csv=args.out,
+                      boxes_path=args.boxes,
+                      max_frames=args.max_frames, align=args.align,
+                      landmarks_path=args.landmarks,
+                      smooth=args.smooth, emotions=args.emotions)
+    series, probs = out if args.emotions else (out, None)
+    row = {"frames": len(series),
+           "valence_mean": float(series[:, 0].mean()),
+           "arousal_mean": float(series[:, 1].mean()),
+           "out": args.out}
+    if probs is not None:
+        from .backbone import FERPLUS_CLASSES
+        row["top_emotion"] = FERPLUS_CLASSES[
+            int(np.argmax(probs.mean(axis=0)))]
+    print(json.dumps(row))
     return 0
 
 
@@ -611,6 +619,11 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--smooth", type=int, default=1,
                    help="odd moving-average window over the output "
                         "series (reference postprocess; 1 = off)")
+    p.add_argument("--emotions", action="store_true",
+                   help="also emit per-frame FER+ emotion "
+                        "probabilities (8 classes) from the backbone's "
+                        "classifier head — free with converted "
+                        "resnet50_ferplus_dag weights")
     _add_common(p)
     p.set_defaults(fn=cmd_predict)
 

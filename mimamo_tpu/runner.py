@@ -135,6 +135,36 @@ class Mimamo:
             emb, _ = self.backbone.apply(variables["backbone"], imgs)
         return emb.reshape(b, t, -1)
 
+    @functools.partial(tuned_jit, static_argnums=0)
+    def _classify(self, variables: Variables,
+                  crops_rgb: jnp.ndarray) -> jnp.ndarray:
+        b, t = crops_rgb.shape[:2]
+        imgs = preprocess.for_backbone(
+            crops_rgb.astype(jnp.float32).reshape(
+                (b * t,) + crops_rgb.shape[2:]), self.config.backbone)
+        if self.config.backbone.fold_bn_inference:
+            from .backbone import fold_batchnorm
+            _, logits = self.backbone_fused.apply(
+                fold_batchnorm(variables["backbone"]), imgs)
+        else:
+            _, logits = self.backbone.apply(variables["backbone"], imgs)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1
+                              ).reshape(b, t, -1)
+
+    def classify_frames(self, variables: Variables,
+                        crops_rgb: jnp.ndarray) -> jnp.ndarray:
+        """[B, T, S, S, 3] 0..255 crops -> [B, T, num_classes] FER+
+        emotion probabilities.
+
+        The FER+ classifier head rides along with every converted
+        ``resnet50_ferplus_dag`` checkpoint (backbone.FERPLUS_CLASSES
+        gives the label order); the reference's extractor discards it,
+        but it is a real per-frame emotion classifier for free —
+        exposed via ``api.MimamoAPI.predict(emotions=True)`` /
+        ``cli predict --emotions``.
+        """
+        return self._classify(variables, crops_rgb)
+
     def forward(self, variables: Variables, crops_rgb: jnp.ndarray,
                 carries: Optional[Carries] = None,
                 include_first_pair: bool = False,

@@ -151,6 +151,18 @@ class TestMimamoAPI:
         finally:
             os.remove(path + ".landmarks.npy")
 
+    def test_predict_emotions_columns(self, video, tmp_path):
+        """emotions=True: FER+ probabilities per frame, CSV columns in
+        the FERPLUS_CLASSES order, rows normalized."""
+        a = api.MimamoAPI(config=tiny_config())
+        csv = str(tmp_path / "emo.csv")
+        series, probs = a.predict(video, out_csv=csv, emotions=True)
+        assert series.shape == (10, 2) and probs.shape == (10, 8)
+        np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+        header = open(csv).readline().strip()
+        assert header.startswith(
+            "frame,valence,arousal,neutral,happiness,surprise")
+
     def test_even_smooth_rejected_before_decode(self, tmp_path):
         a = api.MimamoAPI(config=tiny_config())
         with pytest.raises(ValueError, match="odd"):

@@ -135,6 +135,39 @@ class TestFerplusDag:
         np.testing.assert_allclose(np.asarray(got_logits),
                                    np.asarray(want_logits), atol=1e-6)
 
+    def test_classify_frames_matches_torch_softmax(self):
+        """The FER+ classifier head exposed via Mimamo.classify_frames
+        == softmax of the torch mirror's logits on the same pixels."""
+        import dataclasses
+        import jax
+        from mimamo_tpu.runner import Mimamo
+        from mimamo_tpu.config import (BackboneSpec, ClipSpec,
+                                       MimamoConfig, PhaseSpec,
+                                       PyramidSpec)
+        tmodel, _f, variables = _build_pair(stride_in_1x1=True, seed=5)
+        cfg = MimamoConfig(
+            pyramid=PyramidSpec(height=2, orientations=2,
+                                input_size=(32, 32)),
+            phase=PhaseSpec(phase_size=16),
+            backbone=BackboneSpec(input_size=32, mean_rgb=(0, 0, 0)),
+            clip=ClipSpec(clip_len=4, stride=2, crop_size=32))
+        model = Mimamo(cfg)
+        mvars = {"backbone": variables,
+                 "temporal": model.init_variables(
+                     jax.random.PRNGKey(0))["temporal"]}
+        rng = np.random.default_rng(5)
+        crops = rng.uniform(0, 255, (1, 3, 32, 32, 3)).astype(np.float32)
+        got = np.asarray(model.classify_frames(
+            mvars, jnp.asarray(crops)))
+        assert got.shape == (1, 3, 8)
+        np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-5)
+        with torch.no_grad():
+            # mean_rgb=0: preprocessing is identity on 0..255 pixels
+            _emb, logits = tmodel(torch.from_numpy(
+                crops[0].transpose(0, 3, 1, 2)))
+            want = torch.softmax(logits, dim=-1).numpy()
+        np.testing.assert_allclose(got[0], want, rtol=1e-4, atol=1e-4)
+
     def test_classifier_squeeze_rejects_non_1x1(self):
         with pytest.raises(ValueError, match="1x1"):
             backbone.normalize_dag_state_dict(
