@@ -173,6 +173,12 @@ def cmd_train(args) -> int:
                         augment=args.augment,
                         brightness_jitter=args.brightness_jitter,
                         freeze_backbone=not args.finetune_backbone))
+    # Fine-tuning / resuming from a converted checkpoint must inherit
+    # its preprocessing convention (mean / channel order) exactly like
+    # every other --ckpt consumer — otherwise training silently uses
+    # default means while eval of the same checkpoint uses the right
+    # ones (round-3 advisor finding).
+    config = checkpoints.apply_backbone_meta(config, args.ckpt)
     model = Mimamo(config)
     ds = _dataset(args, config)
     if len(ds) == 0:

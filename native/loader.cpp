@@ -429,7 +429,11 @@ extern "C" {
 // 6: similarity-aligned crops on the bulk path (align + eye-cascade
 // args; preprocess.similarity_from_eyes-parity warp incl. the
 // pixel-center convention).
-int ml_abi_version() { return 6; }
+// 7: ml_detect returns detections sorted by area (descending), so a
+// truncated result can never drop the largest face — the Python
+// tracker keeps only max-area, and crowded frames easily exceed the
+// caller's buffer (cv2-wheel parity: that path returns everything).
+int ml_abi_version() { return 7; }
 
 namespace {
 // Loading a Haar XML costs ~10 ms; Python-side per-frame detection
@@ -464,6 +468,12 @@ int ml_detect(const uint8_t* gray, int h, int w, int stride_bytes,
   std::vector<cv::Rect> found;
   it->second.detectMultiScale(img, found, scale_factor, min_neighbors, 0,
                               cv::Size(min_size, min_size));
+  // Largest faces first: truncation at max_boxes must never discard
+  // the max-area detection the caller is about to select (ABI 7).
+  std::stable_sort(found.begin(), found.end(),
+                   [](const cv::Rect& a, const cv::Rect& b) {
+                     return a.area() > b.area();
+                   });
   const int n = std::min<int>(static_cast<int>(found.size()), max_boxes);
   for (int i = 0; i < n; ++i) {
     out_boxes[4 * i + 0] = static_cast<float>(found[i].y);

@@ -82,6 +82,31 @@ class TestNativeCascade:
     def test_bad_xml_returns_none(self):
         assert native_loader.cascade("/nonexistent.xml") is None
 
+    def test_detections_sorted_by_area(self):
+        """ml_detect returns detections largest-first (ABI 7), so
+        truncation at the ctypes buffer size can never drop the
+        max-area face the tracker is about to select (round-3 advisor
+        finding: crowded frames silently lost the largest box)."""
+        xml = decode.find_cascade_xml(
+            "haarcascade_frontalface_default.xml")
+        if xml is None:
+            pytest.skip("no cascade xml on this machine")
+        det = native_loader.cascade(xml)
+        import cv2
+        # Two rendered faces at different scales in one frame, plus
+        # minNeighbors=1 to multiply raw detections.
+        big = tracker_eval.render_face(96)
+        small = tracker_eval.render_face(40)
+        frame = np.full((160, 240, 3), 90, np.uint8)
+        frame[30:126, 20:116] = big
+        frame[40:80, 160:200] = small
+        gray = cv2.cvtColor(frame, cv2.COLOR_RGB2GRAY)
+        found = det.detectMultiScale(gray, scaleFactor=1.05,
+                                     minNeighbors=1, minSize=(12, 12))
+        assert len(found) >= 2, "renderer no longer multi-detects"
+        areas = [w * h for (_x, _y, w, h) in found]
+        assert areas == sorted(areas, reverse=True), areas
+
     def test_native_aligned_crops_match_device_warp(self, tmp_path):
         """C++ alignment (ABI 6) == the Python/device warp pipeline fed
         the SAME eye landmarks: eye_align_matrix ports

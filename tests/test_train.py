@@ -751,6 +751,46 @@ class TestConvertCLI:
                       "--out", str(tmp_path / "x"), "--cpu"])
 
 
+class TestTrainMetaOverlay:
+    def test_train_inherits_backbone_meta(self, tmp_path, monkeypatch):
+        """cmd_train overlays backbone_meta.json from --ckpt exactly
+        like the other --ckpt consumers (round-3 advisor finding:
+        fine-tuning a converted bgr checkpoint otherwise silently
+        trained with rgb-default preprocessing while eval of the same
+        checkpoint used the right one)."""
+        import os
+        from mimamo_tpu import cli
+        from mimamo_tpu.data import datasets
+        import mimamo_tpu.runner as runner_mod
+        root = str(tmp_path / "omg")
+        os.makedirs(root)
+        manifest = datasets.make_synthetic_omg(root, n_videos=1,
+                                               n_utts=2, frames=12,
+                                               size=32)
+        ckpt = str(tmp_path / "ck")
+        os.makedirs(ckpt)
+        checkpoints.save_backbone_meta(ckpt, (1.0, 2.0, 3.0), "bgr")
+        seen = []
+        real = runner_mod.Mimamo.__init__
+
+        def spy(self, config=None):
+            seen.append(config)
+            real(self, config)
+
+        monkeypatch.setattr(runner_mod.Mimamo, "__init__", spy)
+        rc = cli.main([
+            "train", "--dataset", "omg", "--root", root,
+            "--manifest", manifest, "--epochs", "1", "--batch", "2",
+            "--ckpt", ckpt, "--clip-len", "8", "--stride", "4",
+            "--crop-size", "32", "--backbone-size", "32",
+            "--pyramid-height", "2", "--phase-size", "16", "--cpu"])
+        assert rc == 0
+        assert seen, "cmd_train never built a Mimamo"
+        assert seen[0].backbone.channel_order == "bgr"
+        np.testing.assert_allclose(seen[0].backbone.mean_rgb,
+                                   (1.0, 2.0, 3.0))
+
+
 class _TorchMicroCNN:
     """torch mirror of temporal.MicroCNN, built lazily (import guard)."""
 
