@@ -58,7 +58,10 @@ def _windowed_crop_pipeline(model, video_path: str,
         # window a different template (seam jumps, decode_window-
         # dependent crops). Fit once over the full sidecar (trimmed to
         # max_frames), slice per window below. Landmark sidecars are
-        # tiny — this costs no meaningful memory.
+        # tiny — this costs no meaningful memory. Convention (shared
+        # with corpus._python_one_video, parity-tested): template fit
+        # over the RAW sidecar rows; per-frame transforms hold-last
+        # past the sidecar's end when the video outruns a CSV.
         lm_all = (lm_src.lm if max_frames is None
                   else lm_src.lm[:max_frames])
         params_all = preprocess.similarity_from_landmarks(

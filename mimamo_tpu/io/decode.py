@@ -119,6 +119,19 @@ class LandmarkSource:
         return self.lm[idx]
 
 
+def has_landmark_sidecar(video_path: str) -> bool:
+    """Existence-only probe for landmark sidecars.
+
+    Routing decisions (native-vs-Python corpus loader) must not parse
+    the sidecar: a corrupt file would abort the whole corpus run at
+    routing time instead of failing just its own video (round-3
+    advisor finding). Parsing happens per-video inside the stream,
+    where errors are recorded and skipped.
+    """
+    return any(os.path.exists(video_path + ext)
+               for ext in (".landmarks.npy", ".openface.csv"))
+
+
 def landmark_source(video_path: str,
                     landmarks_path: Optional[str] = None
                     ) -> Optional[LandmarkSource]:
