@@ -214,8 +214,10 @@ class FeatureExtractor:
             if pad:                         # static shape: pad the tail
                 piece = np.concatenate(
                     [piece, np.repeat(piece[-1:], pad, axis=0)])
-            out = self._embed(self.variables, jnp.asarray(piece)[None])
-            feats.append(np.asarray(out)[0, :self.batch - pad])
+            from . import dispatch as _dp
+            p = _dp.dispatch(self._embed, self.variables,
+                             jnp.asarray(piece)[None])
+            feats.append(p.fetch()[0, :self.batch - pad])
         feats = np.concatenate(feats, axis=0)
         if strided:
             from .runner import stride_anchor_plan
@@ -313,8 +315,10 @@ class MimamoAPI:
             if pad:
                 piece = jnp.concatenate(
                     [piece, jnp.repeat(piece[-1:], pad, axis=0)])
-            out = self.model.classify_frames(self.variables, piece[None])
-            probs.append(np.asarray(out)[0, :batch - pad])
+            from . import dispatch as _dp
+            p = _dp.dispatch(self.model.classify_frames, self.variables,
+                             piece[None])
+            probs.append(p.fetch()[0, :batch - pad])
         return np.concatenate(probs)
 
 

@@ -281,18 +281,22 @@ def cmd_train(args) -> int:
     for epoch in range(args.epochs):
         t0 = time.time()
         n, agg = 0, {}
-        # Depth-2 metric pipeline: dispatching the next step before
+        # Depth-2 metric pipeline under the process-wide in-flight cap
+        # (mimamo_tpu.dispatch): dispatching the next step before
         # fetching the previous step's metrics hides the host<->device
         # round-trip behind compute (the bench.py pattern; a deeper
         # async queue wedges the TPU tunnel — see CLAUDE.md).
+        from . import dispatch as _dp
         pending = []
 
         def drain(limit):
             while len(pending) > limit:
                 # one host fetch for the whole metrics dict (per-key
-                # float() would pay one tunnel round-trip per metric)
-                fetched = jax.device_get(pending.pop(0))
-                for k, v in fetched.items():
+                # float() would pay one tunnel round-trip per metric);
+                # fetch ONLY the metrics subtree — the state stays on
+                # device as the next step's input.
+                p, m = pending.pop(0)
+                for k, v in p.fetch(m).items():
                     agg[k] = agg.get(k, 0.0) + float(v)
 
         for batch in ds.batches(local_batch, shuffle=True,
@@ -311,8 +315,12 @@ def cmd_train(args) -> int:
                     jb = parallel.shard_batch(
                         parallel.pad_to_multiple(jb, mesh.devices.size),
                         mesh)
-            state, metrics = step_fn(state, jb)
-            pending.append(metrics)
+            p = _dp.dispatch(step_fn, state, jb, _block=not pending)
+            if p is None:                      # budget contended
+                drain(limit=0)
+                p = _dp.dispatch(step_fn, state, jb)
+            state, metrics = p.value
+            pending.append((p, metrics))
             n += 1
             drain(limit=1)
         drain(limit=0)

@@ -124,15 +124,19 @@ class CorpusRunner:
         acc: Dict[int, dict] = {}
         pend_clips: List[np.ndarray] = []
         pend_meta: List[tuple] = []
-        # Depth-2 dispatch pipeline: keep one device execution in flight
-        # while materializing the previous one (same pattern as bench.py —
-        # hides host<->device latency behind compute).
+        # Depth-2 dispatch pipeline under the process-wide in-flight
+        # cap (mimamo_tpu.dispatch): keep one device execution in
+        # flight while materializing the previous one (the bench.py
+        # pattern); under contention the non-blocking second dispatch
+        # falls back to depth-1 instead of stacking a 3rd outstanding
+        # execution on the tunnel.
+        from . import dispatch as _dp
         in_flight: List[tuple] = []
 
         def drain(limit: int):
             while len(in_flight) > limit:
-                out, meta = in_flight.pop(0)
-                out = np.asarray(out)[:len(meta)]
+                p, meta = in_flight.pop(0)
+                out = np.asarray(p.fetch())[:len(meta)]
                 for (vi, start), pred in zip(meta, out):
                     a = acc.setdefault(vi, {"preds": [], "starts": []})
                     a["preds"].append(pred)
@@ -152,11 +156,15 @@ class CorpusRunner:
             import jax.numpy as jnp
             x = jnp.asarray(batch)
             if self.mesh is not None:
-                out = self.model.predict_batch(self.variables, x,
-                                               self.mesh)
+                fn, fa = self.model.predict_batch, (self.variables, x,
+                                                    self.mesh)
             else:
-                out = self.model.predict_clips(self.variables, x)
-            in_flight.append((out, list(pend_meta)))
+                fn, fa = self.model.predict_clips, (self.variables, x)
+            p = _dp.dispatch(fn, *fa, _block=not in_flight)
+            if p is None:                      # budget contended
+                drain(limit=0)
+                p = _dp.dispatch(fn, *fa)
+            in_flight.append((p, list(pend_meta)))
             drain(limit=1)
             pend_clips.clear()
             pend_meta.clear()

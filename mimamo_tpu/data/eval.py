@@ -51,9 +51,11 @@ def _predict_sequence(model: Mimamo, variables, crops: np.ndarray,
             piece = np.concatenate(
                 [piece, np.repeat(piece[:, -1:], chunk - n, axis=1)],
                 axis=1)
-        out, carries = model.predict_stream(variables,
-                                            jnp.asarray(piece), carries)
-        outs.append(np.asarray(out[0, :n]))
+        from .. import dispatch as _dp
+        p = _dp.dispatch(model.predict_stream, variables,
+                         jnp.asarray(piece), carries)
+        out, carries = p.value
+        outs.append(p.fetch(out[0, :n]))
     return np.concatenate(outs, axis=0)
 
 

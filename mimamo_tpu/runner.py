@@ -314,23 +314,37 @@ class Mimamo:
         crops = preprocess.pad_short_clip(crops, cfg.clip_len)
         windows, starts = preprocess.sliding_windows(
             crops, cfg.clip_len, cfg.stride)
-        # Depth-2 dispatch pipeline: fetch batch i-1 (tiny [B, T, 2])
-        # while batch i runs, so at most ONE execution is outstanding
-        # per caller thread — the axon tunnel wedges past ~2 outstanding
-        # async executions (CLAUDE.md), and the serve daemon runs this
-        # concurrently with stream feeds on another thread.
+        # Depth-2 dispatch pipeline under the PROCESS-WIDE in-flight
+        # cap (mimamo_tpu.dispatch): fetch batch i-1 (tiny [B, T, 2])
+        # while batch i runs. The axon tunnel wedges past ~2
+        # outstanding async executions (CLAUDE.md); the serve daemon
+        # runs this concurrently with stream feeds on another thread,
+        # so the budget is shared — when another caller holds a slot,
+        # the non-blocking second dispatch fails and this pipeline
+        # degrades to depth-1 instead of stacking a 3rd execution.
+        from . import dispatch as _dp
         preds, pending = [], None
+
+        def fetch(p, keep):
+            out = p.fetch()
+            preds.append(out[:keep] if keep < out.shape[0] else out)
+
         for i in range(0, windows.shape[0], batch_clips):
             batch = windows[i:i + batch_clips]
             pad = batch_clips - batch.shape[0]
             if pad:
                 batch = jnp.pad(batch,
                                 [(0, pad)] + [(0, 0)] * (batch.ndim - 1))
-            out = self.predict_clips(variables, batch)
+            p = _dp.dispatch(self.predict_clips, variables, batch,
+                             _block=pending is None)
+            if p is None:                      # budget contended
+                fetch(*pending)
+                pending = None
+                p = _dp.dispatch(self.predict_clips, variables, batch)
             if pending is not None:
-                preds.append(np.asarray(pending))
-            pending = out[:out.shape[0] - pad] if pad else out
-        preds.append(np.asarray(pending))
+                fetch(*pending)
+            pending = (p, batch_clips - pad)
+        fetch(*pending)
         merged = preprocess.merge_window_predictions(
             jnp.asarray(np.concatenate(preds, axis=0)), starts,
             max(t_real, cfg.clip_len))

@@ -138,8 +138,15 @@ class StreamingSession:
         context = jnp.where(fresh_now[:, None, None, None, None],
                             x[:, :1], self._context)
 
-        out, new_gru = self._advance(self.variables, x, context,
-                                     self._gru, fresh_now)
+        # One slot from the process-wide in-flight budget
+        # (mimamo_tpu.dispatch) covers the advance program; it is
+        # released by the host fetch below, so a concurrent
+        # predict_from_crops pipeline plus this feed can never stack a
+        # 3rd outstanding execution on the tunnel.
+        from . import dispatch as _dp
+        p = _dp.dispatch(self._advance, self.variables, x, context,
+                         self._gru, fresh_now)
+        out, new_gru = p.value
 
         # Commit state only for slots that were actually fed.
         fed_mask = np.zeros(self.capacity, bool)
@@ -153,7 +160,7 @@ class StreamingSession:
         for slot in fed:
             self._fresh[slot] = False
 
-        out_np = np.asarray(out)
+        out_np = p.fetch(out)
         return {slot: out_np[slot] for slot in frames_by_slot}
 
     @functools.partial(tuned_jit, static_argnums=0)

@@ -45,6 +45,29 @@ class TestMicroMotion:
         # the two float64 oracles must agree far below the fp32 budget
         np.testing.assert_allclose(want, want_np, atol=1e-9, rtol=0)
 
+    def test_flagship_shape_matches_oracle(self):
+        """Production 112x112, S=3, K=4 shape: the 1e-3 phase-map
+        budget is oracle-proven AT the flagship grid, not extrapolated
+        from 64^2/48^2/32^2 (VERDICT round-3 missing item 2 — mask
+        construction is grid-dependent: DC-pixel convention, spectrum
+        crop parity, per-scale downsampling)."""
+        rng = np.random.default_rng(11)
+        frames = (rng.standard_normal((3, 112, 112)).astype(np.float32)
+                  * 40 + 120)
+        pyr = PyramidSpec(height=3, orientations=4,
+                          input_size=(112, 112))
+        got = np.asarray(phase.micro_motion_features(
+            jnp.asarray(frames[None]), pyr, PH))[0]
+        want = pyramid_np.phase_diff_stack(
+            frames, height=3, nbands=4, phase_size=48)
+        assert got.shape == want.shape == (2, 12, 48, 48)
+        np.testing.assert_allclose(got, want, atol=1e-3, rtol=0)
+        # both float64 oracles agree far below the fp32 budget at this
+        # grid too (independent-algorithm cross-check)
+        want_t = pyramid_torch.phase_diff_stack(
+            frames, height=3, nbands=4, phase_size=48)
+        np.testing.assert_allclose(want_t, want, atol=1e-9, rtol=0)
+
     def test_identical_frames_zero_phase(self):
         f = _clip(t=1)[0]
         frames = jnp.asarray(np.stack([f, f])[None])
