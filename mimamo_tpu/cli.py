@@ -564,6 +564,78 @@ def cmd_convert(args) -> int:
             jax.tree_util.tree_leaves(overlay))
         if dropped:
             report["temporal_dropped_for_config"] = dropped
+    if args.verify:
+        # Forward the SOURCE tensors under torch-CPU (graph twins in
+        # torch_ref.py, consuming source layouts directly) vs the
+        # converted Flax model on a fixed input; fail BEFORE writing a
+        # checkpoint if they disagree. This is the one-command parity
+        # gate for the day real assets land (SURVEY.md §0 verification
+        # protocol; VERDICT round-3 missing item 1). Requires a full
+        # (strict-convertible) checkpoint for this config — tensors
+        # dropped under --no-strict would diverge by construction.
+        import functools
+        import jax.numpy as jnp
+        import numpy as np
+        from . import torch_ref
+        rng = np.random.default_rng(0)
+        tol = args.verify_tol
+        report["verify"] = {}
+
+        def check(name, got, want):
+            scale = float(np.abs(want).max()) + 1e-12
+            diff = float(np.abs(np.asarray(got) - want).max())
+            report["verify"][name] = {
+                "max_abs_diff": diff, "scale": round(scale, 6),
+                "rel": diff / scale}
+            if diff > tol * scale:
+                raise SystemExit(
+                    f"convert --verify FAILED on {name}: max |delta| "
+                    f"{diff:.3e} vs output scale {scale:.3e} "
+                    f"(> {tol:.1e} relative). The converted model does "
+                    f"NOT match the source .pth forward; no checkpoint "
+                    f"was written.")
+
+        if args.backbone_pth:
+            # Re-derive the torchvision-named view of the SOURCE
+            # tensors with exactly the importer's precedence (explicit
+            # rename map wins over the dag auto-detect).
+            rename = json_map(args.backbone_rename)
+            tv_sd = backbone_sd
+            if rename is not None:
+                tv_sd = {rename.get(k, k): v for k, v in tv_sd.items()}
+            elif backbone_mod.looks_like_ferplus_dag(tv_sd):
+                tv_sd = backbone_mod.normalize_dag_state_dict(tv_sd)
+            s = config.backbone.input_size
+            imgs = rng.uniform(-120.0, 120.0, (2, s, s, 3)).astype(
+                np.float32)
+            emb_t, log_t = torch_ref.backbone_forward(tv_sd, imgs)
+            emb_j, log_j = jax.jit(model.backbone.apply)(
+                variables["backbone"], jnp.asarray(imgs))
+            check("backbone_embeddings", emb_j, emb_t)
+            check("backbone_logits", log_j, log_t)
+        if args.temporal_pth:
+            spec = config.temporal
+            b, t = 2, 4
+            ph = None
+            if spec.streams in ("both", "micro"):
+                ph = rng.standard_normal(
+                    (b, t - 1, config.num_phase, config.phase.phase_size,
+                     config.phase.phase_size)).astype(np.float32)
+            ft = None
+            if spec.streams in ("both", "macro"):
+                ft = rng.standard_normal(
+                    (b, t, config.backbone.feature_dim)).astype(
+                    np.float32)
+            want = torch_ref.temporal_forward(
+                checkpoints.load_pth(args.temporal_pth), spec, ph, ft,
+                num_frames=t)
+            got, _carries = jax.jit(functools.partial(
+                model.temporal.apply, num_frames=t))(
+                variables["temporal"],
+                None if ph is None else jnp.asarray(ph),
+                None if ft is None else jnp.asarray(ft))
+            check("temporal_outputs", got, want)
+        print(json.dumps({"verify": report["verify"]}), file=sys.stderr)
     state, _ = train.create_train_state(model, jax.random.PRNGKey(0),
                                         variables=variables)
     out = checkpoints.save(args.out, state, step=0)
@@ -771,6 +843,16 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--out", required=True, help="orbax checkpoint dir")
     p.add_argument("--no-strict", action="store_true",
                    help="skip unmapped tensors instead of erroring")
+    p.add_argument("--verify", action="store_true",
+                   help="forward the SOURCE .pth under torch-CPU and "
+                        "the converted Flax model on a fixed input; "
+                        "print max |delta| per output and fail (before "
+                        "writing anything) if they disagree — the "
+                        "one-command parity gate for real assets")
+    p.add_argument("--verify-tol", type=float, default=1e-3,
+                   help="relative tolerance for --verify (max |delta| "
+                        "over output scale; default 1e-3 covers "
+                        "cross-framework f32 conv-stack drift)")
     _add_common(p)
     p.set_defaults(fn=cmd_convert)
 

@@ -1,6 +1,8 @@
 """Training-step tests: loss decreases, frozen backbone stays frozen,
 sharded step == single-device step, checkpoint round-trip."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -749,6 +751,86 @@ class TestConvertCLI:
             cli.main(["convert", "--temporal-pth", pth,
                       "--temporal-prefix-map", bad,
                       "--out", str(tmp_path / "x"), "--cpu"])
+
+
+class TestConvertVerify:
+    """cli convert --verify: the one-command parity gate (forward the
+    SOURCE .pth under torch-CPU vs the converted Flax model; VERDICT
+    round-3 missing item 1 last mile)."""
+
+    def _make_pths(self, tmp_path):
+        import torch
+        from oracles.resnet_torch import (ResNet50 as TorchRN,
+                                          randomize_bn_stats)
+        torch.manual_seed(0)
+        bb_model = randomize_bn_stats(TorchRN(num_classes=8))
+        bb = str(tmp_path / "bb.pth")
+        torch.save(bb_model.state_dict(), bb)
+        # canonical two-stream .pth (4 = height*orientations channels,
+        # phase 16, matching the CLI flags below)
+        h, feat_dim = 256, 2048
+        cnn = _TorchMicroCNN(4, (64, 128), 256, 16)
+        sd = {f"micro_cnn.{k}": v for k, v in cnn.state_dict().items()}
+        for stream, din in (("gru_micro", 256), ("gru_macro", 256)):
+            sd[f"{stream}.weight_ih_l0"] = torch.randn(3 * h, din) * 0.2
+            sd[f"{stream}.weight_hh_l0"] = torch.randn(3 * h, h) * 0.2
+            sd[f"{stream}.bias_ih_l0"] = torch.randn(3 * h) * 0.1
+            sd[f"{stream}.bias_hh_l0"] = torch.randn(3 * h) * 0.1
+        for name, (din, dout) in (("macro_proj", (feat_dim, 256)),
+                                  ("fusion", (2 * h, 256)),
+                                  ("head", (256, 2))):
+            lin = torch.nn.Linear(din, dout)
+            sd[f"{name}.weight"] = lin.weight.detach()
+            sd[f"{name}.bias"] = lin.bias.detach()
+        tp = str(tmp_path / "two_stream.pth")
+        torch.save(sd, tp)
+        return bb, tp
+
+    _FLAGS = ["--crop-size", "32", "--backbone-size", "64",
+              "--pyramid-height", "2", "--orientations", "2",
+              "--phase-size", "16", "--clip-len", "8", "--stride", "4",
+              "--cpu"]
+
+    def test_verify_passes_and_reports(self, tmp_path, capsys):
+        import json as _json
+        from mimamo_tpu import cli
+        bb, tp = self._make_pths(tmp_path)
+        ckpt = str(tmp_path / "ck")
+        rc = cli.main(["convert", "--backbone-pth", bb,
+                       "--temporal-pth", tp, "--out", ckpt,
+                       "--verify"] + self._FLAGS)
+        assert rc == 0
+        err = capsys.readouterr().err
+        row = _json.loads([ln for ln in err.splitlines()
+                           if ln.startswith('{"verify"')][-1])
+        v = row["verify"]
+        for part in ("backbone_embeddings", "backbone_logits",
+                     "temporal_outputs"):
+            assert v[part]["rel"] < 1e-3, (part, v[part])
+        assert os.path.isdir(ckpt)
+
+    def test_verify_catches_corrupted_conversion(self, tmp_path,
+                                                 monkeypatch):
+        """A semantically wrong (same-shape) conversion — negated conv1
+        kernel — must trip --verify BEFORE any checkpoint is written."""
+        from mimamo_tpu import backbone as backbone_mod
+        from mimamo_tpu import cli
+        bb, _tp = self._make_pths(tmp_path)
+        real = backbone_mod.load_torch_state_dict
+
+        def corrupted(sd, rename=None, strict=True):
+            out = real(sd, rename=rename, strict=strict)
+            k = out["params"]["conv1"]["kernel"]
+            out["params"]["conv1"]["kernel"] = -k
+            return out
+
+        monkeypatch.setattr(backbone_mod, "load_torch_state_dict",
+                            corrupted)
+        ckpt = str(tmp_path / "ck_bad")
+        with pytest.raises(SystemExit, match="verify FAILED"):
+            cli.main(["convert", "--backbone-pth", bb, "--out", ckpt,
+                      "--verify"] + self._FLAGS)
+        assert not os.path.exists(ckpt)
 
 
 class TestTrainMetaOverlay:
