@@ -85,11 +85,18 @@ class ResNet50(nn.Module):
     into the preceding conv's kernel + bias, removing ~53 elementwise
     scale/shift passes over activations per forward (HBM-bandwidth win
     on TPU; VERDICT round 1 "backbone MFU" item).
+
+    ``skip_stem=True`` builds the trunk-only variant consumed by the
+    composite-stem serving path (:func:`composite_stem`): ``__call__``
+    then takes post-pool stem features [N, S/4, S/4, 64] instead of
+    images and creates no conv1/bn1 params — apply it with the full
+    folded variables dict (flax ignores the unused conv1 entry).
     """
 
     spec: BackboneSpec
     stride_in_1x1: bool = True
     fused_bn: bool = False
+    skip_stem: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False
@@ -102,14 +109,18 @@ class ResNet50(nn.Module):
             raise ValueError("fused_bn is an inference-only variant")
         dtype = jnp.bfloat16 if self.spec.dtype == "bfloat16" else jnp.float32
         x = images.astype(dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=self.fused_bn, dtype=dtype, name="conv1")(x)
-        if not self.fused_bn:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=dtype, name="bn1")(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2),
-                        padding=((1, 1), (1, 1)))
+        if not self.skip_stem:
+            x = nn.Conv(64, (7, 7), strides=(2, 2),
+                        padding=((3, 3), (3, 3)),
+                        use_bias=self.fused_bn, dtype=dtype,
+                        name="conv1")(x)
+            if not self.fused_bn:
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5, dtype=dtype,
+                                 name="bn1")(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)))
         for stage, (blocks, width) in enumerate(
                 zip(STAGE_SIZES, STAGE_WIDTHS)):
             for block in range(blocks):
@@ -156,6 +167,98 @@ def fold_batchnorm(variables: Dict[str, Any],
                                           "downsample_bn")
         out[name] = new
     return {"params": out}
+
+
+# ---------------------------------------------------------------------------
+# Composite stem: fold the 2x bilinear upscale INTO conv1
+# ---------------------------------------------------------------------------
+
+# Interleave-upscale tap matrix: output tap d = k - 3 of the 7x7 conv
+# reads u[2j + d], and u[2i] = 0.25 x[i-1] + 0.75 x[i],
+# u[2i+1] = 0.75 x[i] + 0.25 x[i+1] (preprocess._upscale2x_axis).
+# Substituting gives a 5-tap stride-1 kernel over x[j-2 .. j+2]:
+# _UP[k, u] is the weight of x[j + u - 2] in u[2j + k - 3].
+_UP = np.zeros((7, 5), np.float32)
+for _k, (_i, _w) in enumerate([(0, 0.75), (0, 0.25), (1, 0.75),
+                               (1, 0.25), (2, 0.75), (2, 0.25),
+                               (3, 0.75)]):
+    _UP[_k, _i] = _w
+    _UP[_k, _i + 1] = 1.0 - _w
+del _k, _i, _w
+
+
+def composite_stem(crops_rgb: jnp.ndarray, conv1_kernel: jnp.ndarray,
+                   conv1_bias: jnp.ndarray, spec: BackboneSpec
+                   ) -> jnp.ndarray:
+    """Fused stem on half-res crops: upscale2x + meansub + conv1 + relu +
+    maxpool as ONE 5x5 stride-1 conv (+ exact edge correction) + pool.
+
+    Reference behavior (SURVEY.md §3.1 / A.5): aligned 112x112 crops are
+    bilinearly upscaled to the ResNet's 224x224 input. TPU-first design:
+    the upscale is linear, so ``conv1(upscale2x(x))`` collapses into a
+    single 5x5 stride-1 convolution directly on the 112x112 crop —
+    eliminating the [N, 224, 224, 3] materialization, the largest
+    intermediate on the serving path (measured ~4 ms of a ~40 ms step,
+    BASELINE.md). The composite kernel is exact in the interior; the
+    2-pixel output border (where conv zero-padding in u-space and the
+    upscale's edge clamp interact) is recomputed exactly via four thin
+    reference-path slabs and pasted, so the whole function matches
+    ``max_pool(relu(conv1(for_backbone(crops)) + b))`` up to fp
+    reassociation (parity-tested in tests/test_backbone.py).
+
+    Args:
+      crops_rgb: [N, S, S, 3] RGB crops in 0..255 (S even, >= 8).
+      conv1_kernel / conv1_bias: folded conv1 params (HWIO [7,7,3,64]).
+
+    Returns:
+      [N, S//2, S//2, 64] post-pool stem features (work dtype).
+    """
+    n, s, s2, _c = crops_rgb.shape
+    if s != s2 or s % 2 or s < 8:
+        raise ValueError(f"composite_stem needs square, even crops "
+                         f">= 8 px, got {crops_rgb.shape}")
+    work = (jnp.bfloat16 if spec.dtype == "bfloat16" else jnp.float32)
+    x = crops_rgb.astype(work)
+    mean = jnp.asarray(spec.mean_rgb, work)
+    if spec.channel_order == "bgr":
+        x = x[..., ::-1]
+        mean = mean[::-1]
+    # meansub BEFORE the upscale (commutes: the interleave taps sum to
+    # exactly 1); one extra bf16 rounding vs the reference order, same
+    # tolerance class as the round-2 bf16 upscale chain.
+    x = x - mean
+
+    k7 = conv1_kernel.astype(jnp.float32)
+    up = jnp.asarray(_UP)
+    k5 = jnp.einsum("ku,lv,klcO->uvcO", up, up, k7).astype(work)
+
+    def conv(v, kern, strides, pad):
+        return jax.lax.conv_general_dilated(
+            v, kern.astype(work), strides, pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    y = conv(x, k5, (1, 1), [(2, 2), (2, 2)])          # [N, S, S, 64]
+
+    # Exact edge correction: output rows/cols {0, 1, S-2, S-1} mix the
+    # conv's zero padding (in u-space) with the upscale's edge clamp —
+    # recompute them through the reference lowering on 5-row/col slabs.
+    # upscale2x(slab) rows 1.. are exact u values (only the slab-edge
+    # row 0 / row -1 sees a wrong clamp, and it is sliced away).
+    from . import preprocess as pp
+    u_top = pp.upscale2x(x[:, :5])[:, :6]              # u rows 0..5
+    top = conv(u_top, k7, (2, 2), [(3, 0), (3, 3)])    # out rows 0, 1
+    u_bot = pp.upscale2x(x[:, -5:])[:, 3:]             # u rows 2S-7..2S-1
+    bot = conv(u_bot, k7, (2, 2), [(0, 2), (3, 3)])    # out rows S-2, S-1
+    u_lft = pp.upscale2x(x[:, :, :5])[:, :, :6]
+    lft = conv(u_lft, k7, (2, 2), [(3, 3), (3, 0)])    # out cols 0, 1
+    u_rgt = pp.upscale2x(x[:, :, -5:])[:, :, 3:]
+    rgt = conv(u_rgt, k7, (2, 2), [(3, 3), (0, 2)])    # out cols S-2, S-1
+
+    rows = jnp.concatenate([top, y[:, 2:-2], bot], axis=1)
+    y = jnp.concatenate([lft, rows[:, :, 2:-2], rgt], axis=2)
+
+    y = jax.nn.relu(y + conv1_bias.astype(work))
+    return nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
 
 def preprocess_images(images_0_255: jnp.ndarray,

@@ -95,12 +95,27 @@ class BackboneSpec:
     # k=2 and k=4; drift is provably zero before the first in-chunk
     # anchor clamp (tests/test_runner.py seam-drift test).
     appearance_stride: int = 1
+    # Stem lowering for the fused inference path when input_size is
+    # exactly 2x the crop size. "composite" folds the 2x bilinear
+    # upscale INTO conv1 as one 5x5 stride-1 conv on the half-res crop
+    # (with an exact 2-pixel edge correction — backbone.composite_stem),
+    # eliminating the 224-square input materialization, the largest
+    # intermediate on the serving path (~4 ms of a ~40 ms step,
+    # BASELINE.md round-4 row). Same math as upscale-then-conv up to
+    # f32-accumulation reassociation; parity-tested against the
+    # reference lowering in tests/test_backbone.py. "upscale" keeps the
+    # reference two-step lowering. Training and non-folded-BN paths
+    # always use "upscale".
+    stem_mode: str = "composite"   # "composite" | "upscale"
 
     def __post_init__(self):
         if self.appearance_stride < 1:
             raise ValueError(
                 f"appearance_stride must be >= 1, got "
                 f"{self.appearance_stride}")
+        if self.stem_mode not in ("composite", "upscale"):
+            raise ValueError(f"stem_mode must be 'composite' or "
+                             f"'upscale', got {self.stem_mode!r}")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -82,6 +82,12 @@ class Mimamo:
         # Inference-only twin with BN pre-folded into conv weights
         # (backbone.fold_batchnorm); same math, fewer HBM passes.
         self.backbone_fused = ResNet50(self.config.backbone, fused_bn=True)
+        # Trunk-only twin for the composite-stem serving path
+        # (backbone.composite_stem runs upscale+conv1+pool as one fused
+        # 5x5 conv on the half-res crops; the trunk consumes its
+        # post-pool features). Applied with the same folded variables.
+        self.backbone_trunk = ResNet50(self.config.backbone,
+                                       fused_bn=True, skip_stem=True)
         self.temporal = TwoStreamRNN(self.config.temporal)
 
     # -- initialization ----------------------------------------------------
@@ -121,33 +127,51 @@ class Mimamo:
             emb = interp_anchor_features(emb, t, k)
         return emb
 
+    def _composite_stem_ok(self, crop_px: int) -> bool:
+        bs = self.config.backbone
+        return (bs.stem_mode == "composite" and bs.fold_bn_inference
+                and bs.input_size == 2 * crop_px
+                and crop_px >= 8 and crop_px % 2 == 0)
+
+    def _apply_fused(self, variables: Variables, crops_flat: jnp.ndarray):
+        """Folded-BN backbone forward on [N, S, S, 3] raw 0..255 crops,
+        via the composite stem when the config/shape allow it."""
+        from .backbone import composite_stem, fold_batchnorm
+        folded = fold_batchnorm(variables["backbone"])
+        if self._composite_stem_ok(crops_flat.shape[-2]):
+            stem = composite_stem(crops_flat,
+                                  folded["params"]["conv1"]["kernel"],
+                                  folded["params"]["conv1"]["bias"],
+                                  self.config.backbone)
+            return self.backbone_trunk.apply(folded, stem)
+        return self.backbone_fused.apply(
+            folded, preprocess.for_backbone(crops_flat,
+                                            self.config.backbone))
+
     def _embed_every(self, variables: Variables,
                      crops_rgb: jnp.ndarray) -> jnp.ndarray:
         b, t = crops_rgb.shape[:2]
-        imgs = preprocess.for_backbone(
-            crops_rgb.reshape((b * t,) + crops_rgb.shape[2:]),
-            self.config.backbone)
+        crops_flat = crops_rgb.reshape((b * t,) + crops_rgb.shape[2:])
         if self.config.backbone.fold_bn_inference:
-            from .backbone import fold_batchnorm
-            emb, _ = self.backbone_fused.apply(
-                fold_batchnorm(variables["backbone"]), imgs)
+            emb, _ = self._apply_fused(variables, crops_flat)
         else:
-            emb, _ = self.backbone.apply(variables["backbone"], imgs)
+            emb, _ = self.backbone.apply(
+                variables["backbone"],
+                preprocess.for_backbone(crops_flat, self.config.backbone))
         return emb.reshape(b, t, -1)
 
     @functools.partial(tuned_jit, static_argnums=0)
     def _classify(self, variables: Variables,
                   crops_rgb: jnp.ndarray) -> jnp.ndarray:
         b, t = crops_rgb.shape[:2]
-        imgs = preprocess.for_backbone(
-            crops_rgb.astype(jnp.float32).reshape(
-                (b * t,) + crops_rgb.shape[2:]), self.config.backbone)
+        crops_flat = crops_rgb.astype(jnp.float32).reshape(
+            (b * t,) + crops_rgb.shape[2:])
         if self.config.backbone.fold_bn_inference:
-            from .backbone import fold_batchnorm
-            _, logits = self.backbone_fused.apply(
-                fold_batchnorm(variables["backbone"]), imgs)
+            _, logits = self._apply_fused(variables, crops_flat)
         else:
-            _, logits = self.backbone.apply(variables["backbone"], imgs)
+            _, logits = self.backbone.apply(
+                variables["backbone"],
+                preprocess.for_backbone(crops_flat, self.config.backbone))
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1
                               ).reshape(b, t, -1)
 

@@ -189,3 +189,76 @@ class TestPreprocess:
         # red channel moves to position 2 and gets the red mean subtracted
         np.testing.assert_allclose(out[..., 2], 245.0)
         np.testing.assert_allclose(out[..., 0], -30.0)
+
+
+class TestCompositeStem:
+    """composite_stem == upscale-then-conv1-then-pool (the exact-edge
+    fused serving stem; BackboneSpec.stem_mode docs + BASELINE.md r4)."""
+
+    @staticmethod
+    def _reference(crops, k7, bias, spec):
+        import flax.linen as nn
+        from mimamo_tpu import preprocess
+        imgs = preprocess.for_backbone(crops, spec)
+        y = jax.lax.conv_general_dilated(
+            imgs, jnp.asarray(k7), (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return nn.max_pool(nn.relu(y + bias), (3, 3), strides=(2, 2),
+                           padding=((1, 1), (1, 1)))
+
+    @pytest.mark.parametrize("order", ["rgb", "bgr"])
+    def test_matches_reference_chain_f32(self, order):
+        """f32 exactness incl. the 2-px edge-correction border (the
+        composite kernel alone is interior-exact only — this test fails
+        without the slab paste)."""
+        rng = np.random.default_rng(0)
+        spec = BackboneSpec(dtype="float32", input_size=64,
+                            channel_order=order)
+        crops = jnp.asarray(
+            rng.uniform(0, 255, (3, 32, 32, 3)).astype(np.float32))
+        k7 = rng.normal(0, 0.05, (7, 7, 3, 64)).astype(np.float32)
+        bias = jnp.asarray(rng.normal(0, 0.1, (64,)).astype(np.float32))
+        want = np.asarray(self._reference(crops, k7, bias, spec))
+        got = np.asarray(backbone.composite_stem(
+            crops, jnp.asarray(k7), bias, spec))
+        assert got.shape == want.shape == (3, 16, 16, 64)
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, atol=1e-5 * scale, rtol=0)
+
+    def test_embed_path_matches_upscale_mode(self):
+        """Mimamo end-to-end embeddings: stem_mode=composite ==
+        stem_mode=upscale (f32, tiny config)."""
+        import dataclasses
+        from test_runner import tiny_config
+        from mimamo_tpu.runner import Mimamo
+        cfg = tiny_config()
+        cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
+            cfg.backbone, input_size=2 * cfg.clip.crop_size))
+        m_comp = Mimamo(dataclasses.replace(
+            cfg, backbone=dataclasses.replace(cfg.backbone,
+                                              stem_mode="composite")))
+        m_up = Mimamo(dataclasses.replace(
+            cfg, backbone=dataclasses.replace(cfg.backbone,
+                                              stem_mode="upscale")))
+        variables = jax.jit(m_comp.init_variables)(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(5)
+        crops = jnp.asarray(
+            rng.uniform(0, 255, (1, 3, cfg.clip.crop_size,
+                                 cfg.clip.crop_size, 3))
+            .astype(np.float32))
+        want = np.asarray(m_up.embed_frames(variables, crops))
+        got = np.asarray(m_comp.embed_frames(variables, crops))
+        # cross-program tolerance (CLAUDE.md: two differently-jitted
+        # programs of the same ResNet drift ~1e-4 on this host)
+        np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
+
+    def test_rejects_odd_or_tiny_crops(self):
+        spec = BackboneSpec(dtype="float32", input_size=62)
+        k7 = jnp.zeros((7, 7, 3, 64))
+        b = jnp.zeros((64,))
+        with pytest.raises(ValueError, match="composite_stem"):
+            backbone.composite_stem(jnp.zeros((1, 31, 31, 3)), k7, b,
+                                    spec)
+        with pytest.raises(ValueError, match="composite_stem"):
+            backbone.composite_stem(jnp.zeros((1, 6, 6, 3)), k7, b,
+                                    BackboneSpec(input_size=12))
