@@ -26,7 +26,8 @@ import pytest
 
 WORKER = r"""
 import json, sys
-pid, port, root = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+pid, port, root, ckpt = (int(sys.argv[1]), sys.argv[2], sys.argv[3],
+                         sys.argv[4])
 import os
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 import jax
@@ -36,8 +37,9 @@ n = parallel.initialize_distributed(f"127.0.0.1:{port}",
                                     num_processes=2, process_id=pid)
 assert n == 4, f"expected 4 global devices, got {n}"
 assert jax.process_count() == 2
+import numpy as np
 import jax.numpy as jnp
-from mimamo_tpu import train
+from mimamo_tpu import checkpoints, train
 from mimamo_tpu.data import datasets
 from mimamo_tpu.runner import Mimamo
 from test_runner import tiny_config   # ONE config source of truth
@@ -48,16 +50,36 @@ model = Mimamo(cfg)
 state, tx = train.create_train_state(model, jax.random.PRNGKey(2))
 step = train.make_train_step(model, tx)
 mesh = parallel.make_mesh()
-local = next(iter(ds.batches(2, shuffle=True, seed=9,
-                             drop_remainder=True,
-                             process_id=jax.process_index(),
-                             process_count=2)))
-gb = parallel.global_batch(local, mesh)
+locals_ = []
+it = iter(ds.batches(2, shuffle=True, seed=9, drop_remainder=True,
+                     process_id=jax.process_index(), process_count=2))
+locals_ = [next(it), next(it)]
+gb = parallel.global_batch(locals_[0], mesh)
 state = parallel.replicate(state, mesh)
 state, metrics = step(state, gb)
+
+# Multi-host checkpoint round-trip (SURVEY.md S5 checkpoint row): ALL
+# processes enter checkpoints.save — orbax writes each process's
+# addressable shards (fully-replicated state => process 0 writes the
+# arrays) and barriers internally — then both restore against the
+# sharded concrete target and train one MORE step from the restored
+# state, proving the restored shardings feed the collective step.
+path = checkpoints.save(ckpt, state, step=1)
+restored = checkpoints.restore(ckpt, state)
+orig_leaves = jax.device_get(jax.tree_util.tree_leaves(state))
+rest_leaves = jax.device_get(jax.tree_util.tree_leaves(restored))
+restore_exact = all(np.array_equal(a, b)
+                    for a, b in zip(orig_leaves, rest_leaves))
+gb2 = parallel.global_batch(locals_[1], mesh)
+state2, metrics2 = step(restored, gb2)
+
 out = {"pid": pid, "loss": float(metrics["loss"]),
-       "local_clipsums": sorted(float(c.sum()) for c in local["clips"]),
-       "step": int(jax.device_get(state.step))}
+       "local_clipsums": sorted(float(c.sum())
+                                for c in locals_[0]["clips"]),
+       "step": int(jax.device_get(state.step)),
+       "ckpt_path": path, "restore_exact": bool(restore_exact),
+       "loss2": float(metrics2["loss"]),
+       "step2": int(jax.device_get(state2.step))}
 print("RESULT " + json.dumps(out), flush=True)
 """
 
@@ -86,8 +108,9 @@ def test_two_process_train_step_matches_single(tmp_path):
     # stderr to FILES: with PIPE, draining proc 0 while proc 1's XLA
     # warning spam fills its 64 KB pipe would deadlock the collective.
     errs = [open(str(tmp_path / f"err{pid}"), "w+") for pid in range(2)]
+    ckpt = str(tmp_path / "ckpt")
     procs = [subprocess.Popen(
-        [sys.executable, "-c", WORKER, str(pid), str(port), root],
+        [sys.executable, "-c", WORKER, str(pid), str(port), root, ckpt],
         stdout=subprocess.PIPE, stderr=errs[pid], text=True,
         env=env, cwd=repo) for pid in range(2)]
     outs = []
@@ -126,6 +149,16 @@ def test_two_process_train_step_matches_single(tmp_path):
     s1 = results[1]["local_clipsums"]
     assert not set(np.round(s0, 3)) & set(np.round(s1, 3))
 
+    # Checkpoint round-trip: bit-exact restore on BOTH processes, and
+    # the post-restore second step is a working collective step.
+    for pid in (0, 1):
+        assert results[pid]["restore_exact"], \
+            f"process {pid} restored state != saved state"
+        assert results[pid]["step2"] == 2
+    assert os.path.isdir(results[0]["ckpt_path"])
+    np.testing.assert_allclose(results[0]["loss2"], results[1]["loss2"],
+                               atol=1e-5)
+
     # Single-process reference over the SAME clips (union of slices,
     # process-concatenation order = global_batch's device layout).
     import jax
@@ -138,17 +171,25 @@ def test_two_process_train_step_matches_single(tmp_path):
     model = Mimamo(cfg)
     state, tx = train.create_train_state(model, jax.random.PRNGKey(2))
     step = train.make_train_step(model, tx)
-    locals_ = [next(iter(ds.batches(2, shuffle=True, seed=9,
-                                    drop_remainder=True,
-                                    process_id=p, process_count=2)))
-               for p in range(2)]
-    batch = {k: np.concatenate([loc[k] for loc in locals_])
-             for k in locals_[0]}
+    per_proc = []                        # [process][step] local batches
+    for p in range(2):
+        it = iter(ds.batches(2, shuffle=True, seed=9,
+                             drop_remainder=True,
+                             process_id=p, process_count=2))
+        per_proc.append([next(it), next(it)])
     import jax.numpy as jnp
-    _s, metrics = step(state, {k: jnp.asarray(v)
-                               for k, v in batch.items()})
+    losses = []
+    for step_i in range(2):
+        batch = {k: np.concatenate([per_proc[p][step_i][k]
+                                    for p in range(2)])
+                 for k in per_proc[0][0]}
+        state, metrics = step(state, {k: jnp.asarray(v)
+                                      for k, v in batch.items()})
+        losses.append(float(metrics["loss"]))
     # 1e-4: two differently-jitted CPU programs of the same math drift
     # ~1e-4 on this host (stale cross-machine AOT cache entries after
     # VM migration — CLAUDE.md); don't tighten.
-    np.testing.assert_allclose(results[0]["loss"],
-                               float(metrics["loss"]), atol=1e-4)
+    np.testing.assert_allclose(results[0]["loss"], losses[0], atol=1e-4)
+    # Second step ran from the RESTORED state in the workers — parity
+    # here proves save/restore preserved the optimizer state too.
+    np.testing.assert_allclose(results[0]["loss2"], losses[1], atol=1e-4)
