@@ -86,8 +86,13 @@ def _make_blocked_kernel(weighting: bool):
         dphi = _atan2(prod_im, prod_re)                   # [G, h, w]
         if weighting:
             amp = jnp.sqrt(prod_re * prod_re + prod_im * prod_im)
-            denom = jnp.mean(amp, axis=(1, 2), keepdims=True) + 1e-6
-            dphi = dphi * (amp / denom)
+            # Two single-axis keepdims sums, NOT jnp.mean(axis=(1, 2)):
+            # the fused multi-axis reduce's internal reshape crashes the
+            # Mosaic vector-layout inferer ("Check failed: arr.size() >=
+            # layout_rank", libtpu 2026-08; probed in BASELINE.md r4).
+            tot = jnp.sum(jnp.sum(amp, axis=2, keepdims=True),
+                          axis=1, keepdims=True)
+            dphi = dphi * (amp / (tot / (h * w) + 1e-6))
         p = rw.shape[1]
         tmp = jnp.dot(dphi.reshape(g * h, w), rw[...],
                       preferred_element_type=jnp.float32,
