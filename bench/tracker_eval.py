@@ -78,6 +78,7 @@ def render_clip(t=48, h=144, w=192, face_size=64, motion="translate",
             xi = x0 + speed * i
         elif motion == "scale":
             fs = int(round(face_size * (1.0 + 0.01 * speed * i)))
+            fs = min(fs, min(h, w) - 4)   # keep the face inside the frame
             yi, xi = y0, x0 + i
         else:
             raise ValueError(motion)

@@ -122,6 +122,17 @@ class CorpusRunner:
                  "resumed_skipped": skipped}
         # Per-video accumulators: window preds + starts until the sentinel.
         acc: Dict[int, dict] = {}
+        # Deferred finalization (round-4): a video finalizes when its
+        # sentinel has arrived AND all its dispatched clips have
+        # materialized — NOT by syncing the pipeline at every sentinel.
+        # The old flush+drain(0)-per-sentinel stalled the depth-2
+        # pipeline once per video and padded half-empty batches (a
+        # 120-frame video is 4 clips, so batch_clips=8 ran half full);
+        # now batches fill across video boundaries and the device never
+        # waits on a video boundary.
+        expected: Dict[int, int] = {}    # clips yielded per video
+        pending_total: Dict[int, int] = {}   # vi -> frames, sentinel seen
+        dead: set = set()                # decode_failed: discard preds
         pend_clips: List[np.ndarray] = []
         pend_meta: List[tuple] = []
         # Depth-2 dispatch pipeline under the process-wide in-flight
@@ -137,10 +148,16 @@ class CorpusRunner:
             while len(in_flight) > limit:
                 p, meta = in_flight.pop(0)
                 out = np.asarray(p.fetch())[:len(meta)]
+                touched = set()
                 for (vi, start), pred in zip(meta, out):
+                    if vi in dead:
+                        continue
                     a = acc.setdefault(vi, {"preds": [], "starts": []})
                     a["preds"].append(pred)
                     a["starts"].append(start)
+                    touched.add(vi)
+                for vi in touched:
+                    try_finalize(vi)
 
         def flush():
             if not pend_clips:
@@ -169,6 +186,12 @@ class CorpusRunner:
             pend_clips.clear()
             pend_meta.clear()
 
+        def try_finalize(vi: int):
+            if (vi in pending_total
+                    and len(acc.get(vi, {"preds": ()})["preds"])
+                    == expected.get(vi, 0)):
+                finalize(vi, pending_total.pop(vi))
+
         def finalize(vi: int, total_frames: int):
             path = todo[vi]
             name = os.path.splitext(os.path.basename(path))[0]
@@ -187,13 +210,12 @@ class CorpusRunner:
                                  "frames": total_frames})
                 return
             from .preprocess import merge_window_predictions
-            import jax.numpy as jnp
             # Short videos arrive as ONE last-crop-padded clip (loader
             # contract); merge over the padded length, trim to real T.
-            series = np.asarray(merge_window_predictions(
-                jnp.asarray(np.stack(a["preds"])),
+            series = merge_window_predictions(
+                np.stack(a["preds"]),
                 np.asarray(a["starts"], np.int32),
-                max(total_frames, cfg.clip_len)))[:total_frames]
+                max(total_frames, cfg.clip_len))[:total_frames]
             if self.smooth > 1:
                 from .api import smooth_series
                 series = smooth_series(series, self.smooth)
@@ -209,16 +231,23 @@ class CorpusRunner:
 
         for clip, vi, start in self._clip_stream(todo):
             if vi < 0:                      # end-of-video sentinel
-                flush()                     # its clips must be predicted
-                drain(limit=0)
-                finalize(~vi, start)
+                real = ~vi
+                if start < 0:               # decode failed mid-video
+                    dead.add(real)          # discard in-flight preds
+                    finalize(real, start)
+                else:
+                    pending_total[real] = start
+                    try_finalize(real)      # 0-clip / already-drained
                 continue
+            expected[vi] = expected.get(vi, 0) + 1
             pend_clips.append(clip)
             pend_meta.append((vi, start))
             if len(pend_clips) == self.batch_clips:
                 flush()
         flush()
         drain(limit=0)
+        for vi in list(pending_total):      # defensive: should be empty
+            try_finalize(vi)
         for vi in list(acc):
             # Defensive: the loader stream ended without this video's
             # end-of-video sentinel, so its true frame count is unknown

@@ -395,18 +395,28 @@ def sliding_windows(x: jnp.ndarray, clip_len: int, stride: int
     return x[jnp.asarray(idx)], starts
 
 
-def merge_window_predictions(preds: jnp.ndarray, starts: np.ndarray,
-                             total_len: int) -> jnp.ndarray:
+def merge_window_predictions(preds, starts: np.ndarray,
+                             total_len: int) -> np.ndarray:
     """Overlap-average [N, clip_len, D] window outputs back to [T, D].
 
     The reference maps window predictions back to frames with interpolation/
     smoothing (SURVEY.md §3.1 postprocess); overlap-averaging is the
     deterministic equivalent used here.
+
+    Host-side numpy ON PURPOSE (round 4): the inputs/outputs are tiny
+    ([N, clip_len, 2] -> [T, 2]) and every call site already sits on the
+    host between device fetches, so a device version costs one full
+    accelerator round trip PER VIDEO on the corpus path (measured ~0.2 s
+    each through the TPU tunnel, BASELINE.md round-4 e2e row).
+    Accumulates in float64, returns the input dtype — at least as
+    accurate as the previous f32 on-device scatter-add.
     """
+    preds = np.asarray(preds)
     n, clip_len, d = preds.shape
-    idx = np.asarray(starts)[:, None] + np.arange(clip_len)[None, :]
-    idx = jnp.asarray(idx.reshape(-1))
-    acc = jnp.zeros((total_len, d), preds.dtype).at[idx].add(
-        preds.reshape(-1, d))
-    cnt = jnp.zeros((total_len, 1), preds.dtype).at[idx].add(1.0)
-    return acc / jnp.maximum(cnt, 1.0)
+    idx = (np.asarray(starts)[:, None]
+           + np.arange(clip_len)[None, :]).reshape(-1)
+    acc = np.zeros((total_len, d), np.float64)
+    cnt = np.zeros((total_len, 1), np.float64)
+    np.add.at(acc, idx, preds.reshape(-1, d).astype(np.float64))
+    np.add.at(cnt, idx, 1.0)
+    return (acc / np.maximum(cnt, 1.0)).astype(preds.dtype)

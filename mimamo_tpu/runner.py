@@ -370,9 +370,9 @@ class Mimamo:
             pending = (p, batch_clips - pad)
         fetch(*pending)
         merged = preprocess.merge_window_predictions(
-            jnp.asarray(np.concatenate(preds, axis=0)), starts,
+            np.concatenate(preds, axis=0), starts,
             max(t_real, cfg.clip_len))
-        return np.asarray(merged[:t_real])
+        return merged[:t_real]
 
     def crop_video_chunked(self, frames_rgb: np.ndarray,
                            params: np.ndarray, align: bool = False,

@@ -29,6 +29,10 @@
 #include <thread>
 #include <vector>
 
+#include <sys/resource.h>
+#include <sys/syscall.h>
+#include <unistd.h>
+
 #include <opencv2/core.hpp>
 #include <opencv2/imgproc.hpp>
 #include <opencv2/objdetect.hpp>
@@ -298,6 +302,13 @@ struct Corpus {
   std::atomic<long> frames_decoded{0};
 
   void worker() {
+    // Decode is the background producer: run it at minimum scheduling
+    // priority (per-thread nice 19) so the consumer — in production the
+    // accelerator client's RPC/serialization threads — preempts it.
+    // Measured on the 1-core bench host: full-priority decode inflated
+    // the TPU-tunnel execution round-trip ~20x during corpus runs
+    // (BASELINE.md round-4 e2e row).
+    setpriority(PRIO_PROCESS, static_cast<id_t>(syscall(SYS_gettid)), 19);
     FaceTracker tracker;
     if (!cascade_path.empty() && tracker.cascade.load(cascade_path))
       tracker.enabled = true;
