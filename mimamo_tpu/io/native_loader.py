@@ -28,7 +28,7 @@ def _cascade_xml(name: str = "haarcascade_frontalface_default.xml") -> str:
     return decode.find_cascade_xml(name) or ""
 
 
-_ABI_VERSION = 7
+_ABI_VERSION = 8
 
 
 def _load_lib() -> Optional[ctypes.CDLL]:

@@ -88,19 +88,25 @@ struct FaceTracker {
   cv::Rect2f last;
   bool has_last = false;
   cv::Mat prev_gray;
+  int prev_ds = 1;       // downscale factor prev_gray was built with
 
   void reset() {
     has_last = false;
     prev_gray.release();
+    prev_ds = 1;
   }
 
   // Median sparse-LK displacement of good features inside `box`
   // (same parameters as decode._lk_shift: 32 corners, quality 0.05,
   // min distance 5, 15x15 window, 2 pyramid levels, >= 4 survivors).
-  bool lk_shift(const cv::Mat& gray, float* dy, float* dx) const {
-    cv::Rect roi(static_cast<int>(last.x), static_cast<int>(last.y),
-                 static_cast<int>(last.width),
-                 static_cast<int>(last.height));
+  // `ds`: the downscale factor `gray`/`prev_gray` were built with; the
+  // box ROI maps into small coords and the shift maps back out.
+  bool lk_shift(const cv::Mat& gray, int ds, float* dy, float* dx) const {
+    const float s = 1.f / static_cast<float>(ds);
+    cv::Rect roi(static_cast<int>(last.x * s),
+                 static_cast<int>(last.y * s),
+                 static_cast<int>(last.width * s),
+                 static_cast<int>(last.height * s));
     roi &= cv::Rect(0, 0, prev_gray.cols, prev_gray.rows);
     if (roi.area() <= 0) return false;
     std::vector<cv::Point2f> pts;
@@ -132,8 +138,8 @@ struct FaceTracker {
       }
       return hi;
     };
-    *dx = median(dxs);
-    *dy = median(dys);
+    *dx = median(dxs) * static_cast<float>(ds);
+    *dy = median(dys) * static_cast<float>(ds);
     return true;
   }
 
@@ -143,23 +149,42 @@ struct FaceTracker {
     const float h = static_cast<float>(rgb.rows);
     const float w = static_cast<float>(rgb.cols);
     const bool detect_now = enabled && frame_idx % detect_every == 0;
+    // Adaptive downscaled-luma tracking (round 4): once a face is held,
+    // re-detect and LK-track on a gray plane downscaled so the face
+    // stays >= 48 px (2x the Haar cascade's 24x24 native window).
+    // Haar cost scales ~linearly with pixels, so ds=2/4 cuts the
+    // dominant per-frame cost ~4x/16x on large faces; small faces
+    // (< 96 px) keep ds=1, i.e. full-res behavior — where precision
+    // and recall actually matter. First detection (no held box) is
+    // always full-res for recall.
+    int ds = 1;
+    if (has_last) {
+      const float side = std::min(last.width, last.height);
+      while (ds < 4 && side / static_cast<float>(ds * 2) >= 48.f) ds *= 2;
+    }
     cv::Mat gray;
-    if (use_lk || detect_now)
+    if (use_lk || detect_now) {
       cv::cvtColor(rgb, gray, cv::COLOR_RGB2GRAY);
+      if (ds > 1)
+        cv::resize(gray, gray, cv::Size(), 1.0 / ds, 1.0 / ds,
+                   cv::INTER_AREA);
+    }
     bool detected = false;
     if (detect_now) {
       std::vector<cv::Rect> found;
       // cv::Size is (width, height); use the min side for the floor.
-      const int min_side = std::min(rgb.rows, rgb.cols) / 8;
+      const int min_side = std::min(rgb.rows, rgb.cols) / (8 * ds);
       cascade.detectMultiScale(gray, found, 1.2, 4, 0,
                                cv::Size(min_side, min_side));
       if (!found.empty()) {
         const cv::Rect* best = &found[0];
         for (const auto& r : found)
           if (r.area() > best->area()) best = &r;
-        float side = std::max(best->width, best->height) * (1.f + margin);
-        float cy = best->y + best->height / 2.f;
-        float cx = best->x + best->width / 2.f;
+        const float f = static_cast<float>(ds);
+        float side = std::max(best->width, best->height) * f
+                     * (1.f + margin);
+        float cy = (best->y + best->height / 2.f) * f;
+        float cx = (best->x + best->width / 2.f) * f;
         float y0 = std::max(0.f, std::min(cy - side / 2.f, h - 1.f));
         float x0 = std::max(0.f, std::min(cx - side / 2.f, w - 1.f));
         side = std::min({side, h - y0, w - x0});
@@ -172,14 +197,21 @@ struct FaceTracker {
       float side = std::min(h, w);
       last = cv::Rect2f((w - side) / 2.f, (h - side) / 2.f, side, side);
       has_last = true;
-    } else if (use_lk && !detected && !prev_gray.empty()) {
+    } else if (use_lk && !detected && !prev_gray.empty()
+               && prev_ds == ds) {
+      // (ds changed between frames -> scales mismatch; hold this frame
+      // and resume LK next frame. Transitions are rare: only when the
+      // held box crosses a 96/192 px threshold.)
       float dy = 0.f, dx = 0.f;
-      if (lk_shift(gray, &dy, &dx)) {
+      if (lk_shift(gray, ds, &dy, &dx)) {
         last.y = std::max(0.f, std::min(last.y + dy, h - last.height));
         last.x = std::max(0.f, std::min(last.x + dx, w - last.width));
       }
     }
-    if (use_lk) prev_gray = std::move(gray);
+    if (use_lk) {
+      prev_gray = std::move(gray);
+      prev_ds = ds;
+    }
     return last;
   }
 };
@@ -444,7 +476,7 @@ extern "C" {
 // truncated result can never drop the largest face — the Python
 // tracker keeps only max-area, and crowded frames easily exceed the
 // caller's buffer (cv2-wheel parity: that path returns everything).
-int ml_abi_version() { return 7; }
+int ml_abi_version() { return 8; }
 
 namespace {
 // Loading a Haar XML costs ~10 ms; Python-side per-frame detection
