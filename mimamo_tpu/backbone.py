@@ -368,6 +368,26 @@ def looks_like_ferplus_dag(state_dict: Dict[str, Any]) -> bool:
     return "conv1_7x7_s2.weight" in state_dict
 
 
+def resolve_torch_names(state_dict: Dict[str, np.ndarray],
+                        rename: Optional[Dict[str, str]] = None):
+    """Canonical (torchvision-named) view of a source state_dict.
+
+    THE single source of the importer's precedence — an explicit rename
+    map wins over the dag auto-detect — shared by ``cli convert``'s
+    import path and its ``--verify`` torch-CPU forward so the parity
+    gate always forwards exactly the tensors that were converted.
+
+    Returns ``(tv_state_dict, how)`` with ``how`` in
+    ``("rename", "dag", "as-is")``.
+    """
+    if rename is not None:
+        return ({rename.get(k, k): v for k, v in state_dict.items()},
+                "rename")
+    if looks_like_ferplus_dag(state_dict):
+        return normalize_dag_state_dict(state_dict), "dag"
+    return state_dict, "as-is"
+
+
 def normalize_dag_state_dict(state_dict: Dict[str, np.ndarray]
                              ) -> Dict[str, np.ndarray]:
     """dag-named state_dict -> canonical torchvision names.

@@ -338,7 +338,16 @@ def cmd_train(args) -> int:
             # Reference keeps the best-val checkpoint (SURVEY.md §3.3).
             if args.ckpt and ev["mean_ccc"] > best_ccc:
                 best_ccc = ev["mean_ccc"]
-                checkpoints.save(args.ckpt.rstrip("/") + "_best", state)
+                best_dir = args.ckpt.rstrip("/") + "_best"
+                checkpoints.save(best_dir, state)
+                # The best-val dir is consumed standalone by predict/
+                # eval --ckpt: it needs the active preprocessing
+                # convention too, or a bgr/custom-mean fine-tune would
+                # silently evaluate with rgb defaults (round-3 advisor
+                # bug, one directory over).
+                checkpoints.save_backbone_meta(
+                    best_dir, config.backbone.mean_rgb,
+                    config.backbone.channel_order)
                 row["best"] = True
         print(json.dumps(row))
         if log_f:
@@ -353,6 +362,9 @@ def cmd_train(args) -> int:
             tb_writer.flush()
         if args.ckpt:
             checkpoints.save(args.ckpt, state)
+            checkpoints.save_backbone_meta(
+                args.ckpt, config.backbone.mean_rgb,
+                config.backbone.channel_order)
     if log_f:
         log_f.close()
     return 0
@@ -493,18 +505,19 @@ def cmd_convert(args) -> int:
     strict = not args.no_strict
     if args.backbone_pth:
         from . import backbone as backbone_mod
-        sd = backbone_sd
-        rename = json_map(args.backbone_rename)
-        if rename is None and backbone_mod.looks_like_ferplus_dag(sd):
-            # The advertised zero-JSON path: the dag naming scheme is
-            # deterministic, so the full 267-entry rename is generated
-            # (backbone.ferplus_dag_rename) instead of hand-written.
-            sd = backbone_mod.normalize_dag_state_dict(sd)
+        # The advertised zero-JSON path: the dag naming scheme is
+        # deterministic, so the full 267-entry rename is generated
+        # (backbone.ferplus_dag_rename) instead of hand-written.
+        # resolve_torch_names is shared with --verify below so the
+        # parity gate forwards exactly the tensors being converted.
+        sd, how = backbone_mod.resolve_torch_names(
+            backbone_sd, json_map(args.backbone_rename))
+        if how == "dag":
             report["backbone_dag_rename"] = "auto"
             print("detected resnet50_ferplus_dag naming; applied the "
                   "built-in rename map", file=sys.stderr)
         variables["backbone"] = backbone_mod.load_torch_state_dict(
-            sd, rename=rename, strict=strict)
+            sd, strict=strict)
         report["backbone_tensors"] = len(
             jax.tree_util.tree_leaves(variables["backbone"]))
     if args.temporal_pth:
@@ -596,15 +609,10 @@ def cmd_convert(args) -> int:
                     f"was written.")
 
         if args.backbone_pth:
-            # Re-derive the torchvision-named view of the SOURCE
-            # tensors with exactly the importer's precedence (explicit
-            # rename map wins over the dag auto-detect).
-            rename = json_map(args.backbone_rename)
-            tv_sd = backbone_sd
-            if rename is not None:
-                tv_sd = {rename.get(k, k): v for k, v in tv_sd.items()}
-            elif backbone_mod.looks_like_ferplus_dag(tv_sd):
-                tv_sd = backbone_mod.normalize_dag_state_dict(tv_sd)
+            # The torchvision-named view of the SOURCE tensors, via the
+            # same shared helper as the import above — one precedence.
+            tv_sd, _how = backbone_mod.resolve_torch_names(
+                backbone_sd, json_map(args.backbone_rename))
             s = config.backbone.input_size
             imgs = rng.uniform(-120.0, 120.0, (2, s, s, 3)).astype(
                 np.float32)

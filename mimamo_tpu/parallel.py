@@ -145,7 +145,10 @@ def sharded_ccc(preds: Any, golds: Any, mesh: Mesh,
 
     def local(p, y, w):
         w1 = w.astype(p.dtype)[:, None]
-        n = jax.lax.psum(jnp.sum(w1), axis)
+        # Count in f32 regardless of p.dtype: a bf16 accumulation of
+        # the mask can't represent e.g. 257 (spacing 2 above 256) and
+        # would bias every moment's divisor.
+        n = jax.lax.psum(jnp.sum(w.astype(jnp.float32)), axis)
         sp = jax.lax.psum(jnp.sum(p * w1, 0), axis)
         sy = jax.lax.psum(jnp.sum(y * w1, 0), axis)
         spp = jax.lax.psum(jnp.sum(p * p * w1, 0), axis)

@@ -127,18 +127,19 @@ class Mimamo:
             emb = interp_anchor_features(emb, t, k)
         return emb
 
-    def _composite_stem_ok(self, crop_px: int) -> bool:
+    def _composite_stem_ok(self, crop_hw) -> bool:
         bs = self.config.backbone
+        h, w = crop_hw
         return (bs.stem_mode == "composite" and bs.fold_bn_inference
-                and bs.input_size == 2 * crop_px
-                and crop_px >= 8 and crop_px % 2 == 0)
+                and h == w and bs.input_size == 2 * w
+                and w >= 8 and w % 2 == 0)
 
     def _apply_fused(self, variables: Variables, crops_flat: jnp.ndarray):
         """Folded-BN backbone forward on [N, S, S, 3] raw 0..255 crops,
         via the composite stem when the config/shape allow it."""
         from .backbone import composite_stem, fold_batchnorm
         folded = fold_batchnorm(variables["backbone"])
-        if self._composite_stem_ok(crops_flat.shape[-2]):
+        if self._composite_stem_ok(crops_flat.shape[-3:-1]):
             stem = composite_stem(crops_flat,
                                   folded["params"]["conv1"]["kernel"],
                                   folded["params"]["conv1"]["bias"],
@@ -392,6 +393,21 @@ class Mimamo:
         crop_fn = self._align_video if align else self._crop_video
         t = frames_rgb.shape[0]
         pieces = []
+        # Chunk programs go through the process-wide in-flight cap
+        # (mimamo_tpu.dispatch) at pipeline depth 2: an unbounded loop
+        # of async dispatches would stack ceil(T/chunk) outstanding
+        # executions on the tunnel, which wedges past ~2 (round-4
+        # review finding). The crops stay ON DEVICE — the slot is
+        # released after a 1-element probe fetch, the only real sync
+        # through the tunnel (block_until_ready is a no-op there,
+        # CLAUDE.md).
+        from . import dispatch as _dp
+
+        def settle(pend):
+            jax.device_get(pend.value[:1, :1, :1, :1])
+            pend.release()
+
+        pending = None
         for s in range(0, t, chunk):
             f = np.asarray(frames_rgb[s:s + chunk])
             p = np.asarray(params[s:s + chunk])
@@ -401,8 +417,19 @@ class Mimamo:
                     [f, np.repeat(f[-1:], chunk - n, axis=0)])
                 p = np.concatenate(
                     [p, np.repeat(p[-1:], chunk - n, axis=0)])
-            out = crop_fn(None, jnp.asarray(f), jnp.asarray(p))
-            pieces.append(out[:n])
+            fd, pd = jnp.asarray(f), jnp.asarray(p)
+            pend = _dp.dispatch(crop_fn, None, fd, pd,
+                                _block=pending is None)
+            if pend is None:                    # budget contended
+                settle(pending)
+                pending = None
+                pend = _dp.dispatch(crop_fn, None, fd, pd)
+            if pending is not None:
+                settle(pending)
+            pending = pend
+            pieces.append(pend.value[:n])
+        if pending is not None:
+            settle(pending)
         return jnp.concatenate(pieces, axis=0)
 
     @functools.partial(tuned_jit, static_argnums=0)

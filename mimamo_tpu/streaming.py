@@ -135,28 +135,22 @@ class StreamingSession:
         # zeroes their step-0 micro embedding (clip-mode equivalence).
         fed = np.asarray(sorted(frames_by_slot))
         fresh_now = jnp.asarray(self._fresh.copy())
-        context = jnp.where(fresh_now[:, None, None, None, None],
-                            x[:, :1], self._context)
-
-        # One slot from the process-wide in-flight budget
-        # (mimamo_tpu.dispatch) covers the advance program; it is
-        # released by the host fetch below, so a concurrent
-        # predict_from_crops pipeline plus this feed can never stack a
-        # 3rd outstanding execution on the tunnel.
-        from . import dispatch as _dp
-        p = _dp.dispatch(self._advance, self.variables, x, context,
-                         self._gru, fresh_now)
-        out, new_gru = p.value
-
-        # Commit state only for slots that were actually fed.
         fed_mask = np.zeros(self.capacity, bool)
         fed_mask[fed] = True
-        self._gru = _select_slots(new_gru, self._gru,
-                                  jnp.asarray(fed_mask),
-                                  self._slot_axis)
-        self._context = jnp.where(
-            jnp.asarray(fed_mask)[:, None, None, None, None],
-            x[:, -1:], self._context)
+
+        # One slot from the process-wide in-flight budget
+        # (mimamo_tpu.dispatch) covers the WHOLE feed — the advance and
+        # the slot-masked state commit run as ONE jitted program (the
+        # commit used to be separate eager jnp.where executions, which
+        # escaped the in-flight cap and cost extra tunnel round trips;
+        # round-4 review finding). The slot is released by the host
+        # fetch below, so a concurrent predict_from_crops pipeline plus
+        # this feed can never stack a 3rd outstanding execution.
+        from . import dispatch as _dp
+        p = _dp.dispatch(self._advance, self.variables, x,
+                         self._context, self._gru, fresh_now,
+                         jnp.asarray(fed_mask))
+        out, self._gru, self._context = p.value
         for slot in fed:
             self._fresh[slot] = False
 
@@ -164,10 +158,18 @@ class StreamingSession:
         return {slot: out_np[slot] for slot in frames_by_slot}
 
     @functools.partial(tuned_jit, static_argnums=0)
-    def _advance(self, variables, x, context, gru, fresh):
-        chunk_in = jnp.concatenate([context, x], axis=1)
-        return self.model._predict_stream(variables, chunk_in, gru,
-                                          first_pair_invalid=fresh)
+    def _advance(self, variables, x, context, gru, fresh, fed_mask):
+        # Fresh slots use their own first frame as pair context.
+        ctx_in = jnp.where(fresh[:, None, None, None, None],
+                           x[:, :1], context)
+        chunk_in = jnp.concatenate([ctx_in, x], axis=1)
+        out, new_gru = self.model._predict_stream(
+            variables, chunk_in, gru, first_pair_invalid=fresh)
+        # Commit state only for slots that were actually fed.
+        new_gru = _select_slots(new_gru, gru, fed_mask, self._slot_axis)
+        new_context = jnp.where(fed_mask[:, None, None, None, None],
+                                x[:, -1:], context)
+        return out, new_gru, new_context
 
 
 def _zero_slot(carries, slot, axis):

@@ -87,11 +87,14 @@ struct FaceTracker {
   float margin = 0.25f;
   cv::Rect2f last;
   bool has_last = false;
+  bool held_from_detection = false;  // center-crop fallback must NOT
+                                     // drive the adaptive downscale
   cv::Mat prev_gray;
   int prev_ds = 1;       // downscale factor prev_gray was built with
 
   void reset() {
     has_last = false;
+    held_from_detection = false;
     prev_gray.release();
     prev_ds = 1;
   }
@@ -157,8 +160,12 @@ struct FaceTracker {
     // (< 96 px) keep ds=1, i.e. full-res behavior — where precision
     // and recall actually matter. First detection (no held box) is
     // always full-res for recall.
+    // Only a box that came from a real detection scales the luma down:
+    // the no-detection center-crop fallback is frame-sized, and letting
+    // it pick ds=4 would permanently blind re-detection to any face
+    // smaller than 4x the cascade window.
     int ds = 1;
-    if (has_last) {
+    if (has_last && held_from_detection) {
       const float side = std::min(last.width, last.height);
       while (ds < 4 && side / static_cast<float>(ds * 2) >= 48.f) ds *= 2;
     }
@@ -190,6 +197,7 @@ struct FaceTracker {
         side = std::min({side, h - y0, w - x0});
         last = cv::Rect2f(x0, y0, side, side);
         has_last = true;
+        held_from_detection = true;
         detected = true;
       }
     }

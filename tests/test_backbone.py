@@ -252,6 +252,27 @@ class TestCompositeStem:
         # programs of the same ResNet drift ~1e-4 on this host)
         np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
 
+    def test_non_square_crops_fall_back_to_resize_path(self):
+        """[B, T, 48, 32, 3] with input_size=64: width matches
+        input_size/2 but the crop is non-square, so the composite stem
+        must NOT engage (round-4 review finding: a width-only guard
+        raised from composite_stem instead of falling back)."""
+        import dataclasses
+        from test_runner import tiny_config
+        from mimamo_tpu.runner import Mimamo
+        cfg = tiny_config()
+        cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
+            cfg.backbone, input_size=2 * cfg.clip.crop_size))
+        m = Mimamo(cfg)
+        assert not m._composite_stem_ok((cfg.clip.crop_size + 16,
+                                         cfg.clip.crop_size))
+        variables = jax.jit(m.init_variables)(jax.random.PRNGKey(0))
+        crops = jnp.asarray(np.random.default_rng(0).uniform(
+            0, 255, (1, 2, cfg.clip.crop_size + 16, cfg.clip.crop_size,
+                     3)).astype(np.float32))
+        emb = m.embed_frames(variables, crops)   # must not raise
+        assert np.isfinite(np.asarray(emb)).all()
+
     def test_rejects_odd_or_tiny_crops(self):
         spec = BackboneSpec(dtype="float32", input_size=62)
         k7 = jnp.zeros((7, 7, 3, 64))

@@ -216,6 +216,27 @@ class TestSharding:
         np.testing.assert_allclose(got8, ccc_np(p[:n], y[:n]),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_sharded_ccc_bf16_count_exact(self):
+        """The masked row count accumulates in f32 even for bf16
+        inputs: bf16 can't represent 257 (spacing 2 above 256), which
+        would bias every moment's divisor (round-4 review finding)."""
+        from mimamo_tpu.data.eval import ccc_np
+        rng = np.random.default_rng(1)
+        mesh = parallel.make_mesh()
+        n = mesh.devices.size
+        b = 257 - (257 % n) + n                # divisible, > 256
+        p = rng.standard_normal((b, 2)).astype(np.float32)
+        y = (0.5 * p + 0.5 * rng.standard_normal((b, 2))
+             ).astype(np.float32)
+        got = np.asarray(parallel.sharded_ccc(
+            parallel.shard_batch(jnp.asarray(p, jnp.bfloat16), mesh),
+            parallel.shard_batch(jnp.asarray(y, jnp.bfloat16), mesh),
+            mesh))
+        # bf16 data => loose value tolerance, but the count itself must
+        # be exact: a 256-vs-260 divisor shows up at the 1e-2 level
+        np.testing.assert_allclose(
+            got, ccc_np(p, y), rtol=2e-2, atol=2e-2)
+
 
 class TestPreprocess:
     def test_crop_and_resize_identity_box(self):

@@ -863,7 +863,8 @@ class TestTrainMetaOverlay:
         rc = cli.main([
             "train", "--dataset", "omg", "--root", root,
             "--manifest", manifest, "--epochs", "1", "--batch", "2",
-            "--ckpt", ckpt, "--clip-len", "8", "--stride", "4",
+            "--ckpt", ckpt, "--eval-root", root, "--eval-every", "1",
+            "--clip-len", "8", "--stride", "4",
             "--crop-size", "32", "--backbone-size", "32",
             "--pyramid-height", "2", "--phase-size", "16", "--cpu"])
         assert rc == 0
@@ -871,6 +872,16 @@ class TestTrainMetaOverlay:
         assert seen[0].backbone.channel_order == "bgr"
         np.testing.assert_allclose(seen[0].backbone.mean_rgb,
                                    (1.0, 2.0, 3.0))
+        # The checkpoints train WRITES carry the active convention too:
+        # both the per-epoch dir and the standalone best-val dir
+        # (round-4 review finding: _best had no backbone_meta.json, so
+        # predict/eval --ckpt <dir>_best silently fell back to rgb
+        # defaults — the round-3 bug one directory over).
+        for d in (ckpt, ckpt + "_best"):
+            meta = checkpoints.load_backbone_meta(d)
+            assert meta is not None, f"no backbone_meta.json in {d}"
+            assert meta["channel_order"] == "bgr"
+            np.testing.assert_allclose(meta["mean_rgb"], (1.0, 2.0, 3.0))
 
 
 class _TorchMicroCNN:
