@@ -37,6 +37,16 @@ class PyramidSpec:
     # slow at these sizes); "auto": matmul on TPU, fft elsewhere.
     # Parity between the modes is oracle-tested to ~1e-4.
     fft_mode: str = "auto"
+    # MXU pass count for the DFT matmuls (matmul mode only; CPU f32 is
+    # exact regardless): "highest" = 6-pass bf16 error compensation,
+    # "high" = 3-pass. MEASURED ON HARDWARE against the float64 NumPy
+    # oracle at the flagship 112x112 shape
+    # (bench/phase_precision_experiments.py, BASELINE.md round 4):
+    # "highest" 1.7e-5 max phase error; "high" **1.40 rad** — phase at
+    # low-amplitude band coefficients amplifies the uncompensated bf16
+    # residual unboundedly, so "high" FAILS the 1e-3 parity budget and
+    # saves only ~5% of the phase stage. Keep "highest".
+    dft_precision: str = "highest"
 
     def band_shape(self, scale: int) -> Tuple[int, int]:
         h, w = self.input_size

@@ -149,9 +149,26 @@ def make_masks(spec: PyramidSpec) -> Dict[str, tuple]:
 # rides the MXU instead. fftshift/ifftshift are baked into the DFT
 # matrices as row/column rolls, so `fftshift(fft2(x))` is exactly
 # `A @ x @ A^T` and `ifft2(ifftshift(Y))` is `B @ Y @ B^T` — one fused
-# XLA computation, no gather/roll ops. HIGHEST matmul precision keeps the
-# band phases inside the 1e-3 parity budget (f32 inputs would otherwise
-# round through bf16 on the MXU).
+# XLA computation, no gather/roll ops. Elevated matmul precision keeps
+# the band phases inside the 1e-3 parity budget (f32 inputs would
+# otherwise round through bf16 on the MXU); spec.dft_precision picks
+# 6-pass ("highest") vs 3-pass ("high") error compensation. Hardware-
+# gated vs the float64 oracle: "high" FAILS (1.40 rad max phase error —
+# see config.py note and BASELINE.md round 4); the default stays
+# "highest".
+
+_PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
+               "high": jax.lax.Precision.HIGH,
+               "default": jax.lax.Precision.DEFAULT}
+
+# Bench-only escape hatch (bench/phase_precision_experiments.py A/B
+# attribution): False re-enables the legacy zero-imag complex forward.
+_SPLIT_REAL_FORWARD = True
+
+
+def _dft_precision(spec: PyramidSpec):
+    return _PRECISIONS[spec.dft_precision]
+
 
 def _dft_matrix(n: int, inverse: bool) -> np.ndarray:
     k = np.arange(n)
@@ -174,13 +191,35 @@ def _inv_shift_matrix(n: int) -> np.ndarray:
                    axis=1).astype(np.complex64)
 
 
-def _mm2(x: jnp.ndarray, m_h: np.ndarray, m_w: np.ndarray) -> jnp.ndarray:
-    """M_h @ x @ M_w^T over the trailing two axes (complex matmuls)."""
-    y = jnp.einsum("ph,...hw->...pw", jnp.asarray(m_h),
-                   x.astype(jnp.complex64),
-                   precision=jax.lax.Precision.HIGHEST)
+def _mm2(x: jnp.ndarray, m_h: np.ndarray, m_w: np.ndarray,
+         precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """M_h @ x @ M_w^T over the trailing two axes (complex matmuls).
+
+    A real-dtype ``x`` takes the split row pass: ``A @ x`` for complex A
+    and real x is computed as two *real* GEMMs (Re(A)@x, Im(A)@x) —
+    mathematically identical to the complex product (the dropped terms
+    are exact multiply-by-zero) at 2 instead of 4 MXU passes. NOT
+    bitwise: XLA lowers complex matmuls via Gauss's 3-multiplication
+    trick, whose reassociated imaginary part rounds differently (the
+    split's direct products are the *more* accurate form; measured
+    ~2e-4 apart on f32 phase maps, and 1.7e-5 vs the float64 oracle on
+    hardware at flagship shape). XLA does not discover the split
+    itself: ``astype(complex64)`` materializes a zero imaginary plane
+    it then dutifully multiplies.
+    """
+    mh = jnp.asarray(m_h)
+    if jnp.iscomplexobj(x) or not _SPLIT_REAL_FORWARD:
+        y = jnp.einsum("ph,...hw->...pw", mh, x.astype(jnp.complex64),
+                       precision=precision)
+    else:
+        xr = x.astype(jnp.float32)
+        y = jax.lax.complex(
+            jnp.einsum("ph,...hw->...pw", mh.real, xr,
+                       precision=precision),
+            jnp.einsum("ph,...hw->...pw", mh.imag, xr,
+                       precision=precision))
     return jnp.einsum("...pw,qw->...pq", y, jnp.asarray(m_w),
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=precision)
 
 
 def on_default_tpu() -> bool:
@@ -201,7 +240,8 @@ def fft2_shifted(x: jnp.ndarray, spec: PyramidSpec) -> jnp.ndarray:
     """fftshift(fft2(x)) over the trailing two axes, per spec.fft_mode."""
     if _use_matmul_fft(spec):
         h, w = x.shape[-2], x.shape[-1]
-        return _mm2(x, _fwd_shift_matrix(h), _fwd_shift_matrix(w))
+        return _mm2(x, _fwd_shift_matrix(h), _fwd_shift_matrix(w),
+                    precision=_dft_precision(spec))
     return jnp.fft.fftshift(jnp.fft.fft2(x.astype(jnp.complex64)),
                             axes=(-2, -1))
 
@@ -210,7 +250,8 @@ def ifft2_shifted(y: jnp.ndarray, spec: PyramidSpec) -> jnp.ndarray:
     """ifft2(ifftshift(y)) over the trailing two axes, per spec.fft_mode."""
     if _use_matmul_fft(spec):
         h, w = y.shape[-2], y.shape[-1]
-        return _mm2(y, _inv_shift_matrix(h), _inv_shift_matrix(w))
+        return _mm2(y, _inv_shift_matrix(h), _inv_shift_matrix(w),
+                    precision=_dft_precision(spec))
     return jnp.fft.ifft2(jnp.fft.ifftshift(y, axes=(-2, -1)))
 
 
