@@ -207,3 +207,47 @@ class TestMatmulDFT:
         a = np.asarray(phase_mod.micro_motion_features(frames, base, ph))
         b = np.asarray(phase_mod.micro_motion_features(frames, mm, ph))
         np.testing.assert_allclose(a, b, atol=1e-3, rtol=0)
+
+    def test_real_forward_split_matches_complex_cast(self):
+        """The real-input forward split (two real GEMMs instead of a
+        zero-imag complex product) is mathematically exact; it differs
+        from the legacy complex-cast lowering only by XLA's Gauss-trick
+        reassociation rounding (~2e-4 on f32 phase maps), far inside
+        the 1e-3 parity budget. The HARDWARE gate lives in
+        bench/phase_precision_experiments.py (dft_precision='high' is
+        a measured NEGATIVE result there: 1.40 rad — keep 'highest')."""
+        from mimamo_tpu.config import PhaseSpec
+        from mimamo_tpu import phase as phase_mod
+        rng = np.random.default_rng(13)
+        frames = jnp.asarray(
+            rng.uniform(0, 255, (1, 3, 64, 64)).astype(np.float32))
+        ph = PhaseSpec(phase_size=48)
+        mm = PyramidSpec(height=3, orientations=4, input_size=(64, 64),
+                         fft_mode="matmul")
+        assert pyramid._SPLIT_REAL_FORWARD
+        a = np.asarray(phase_mod.micro_motion_features(frames, mm, ph))
+        try:
+            pyramid._SPLIT_REAL_FORWARD = False
+            b = np.asarray(phase_mod.micro_motion_features(frames, mm, ph))
+        finally:
+            pyramid._SPLIT_REAL_FORWARD = True
+        np.testing.assert_allclose(a, b, atol=1e-3, rtol=0)
+
+    def test_dft_precision_knob(self):
+        """On CPU both precisions are exact f32, so 'high' must agree
+        with 'highest' here; an unknown value fails fast at trace."""
+        rng = np.random.default_rng(14)
+        x = jnp.asarray(rng.standard_normal((2, 32, 32)).astype(
+            np.float32) * 40)
+        got = {}
+        for p in ("highest", "high"):
+            spec = PyramidSpec(height=2, orientations=4,
+                               input_size=(32, 32), fft_mode="matmul",
+                               dft_precision=p)
+            got[p] = np.asarray(pyramid.fft2_shifted(x, spec))
+        np.testing.assert_allclose(got["high"], got["highest"],
+                                   atol=0, rtol=0)
+        bad = PyramidSpec(input_size=(32, 32), fft_mode="matmul",
+                          dft_precision="bogus")
+        with pytest.raises(KeyError):
+            pyramid.fft2_shifted(x, bad)
