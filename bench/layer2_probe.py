@@ -1,0 +1,283 @@
+"""Fused-layer2 Pallas probe: can cross-conv VMEM fusion beat XLA?
+
+The roofline (BASELINE.md) puts layer2 at 9.36 ms/384-frame step, 74%
+of measured HBM bandwidth and only 46% MFU — bytes-bound on the
+residual stream it re-reads/re-writes around every bottleneck block.
+XLA cannot fuse across conv boundaries, so the ~5 GB of analytic
+traffic is structural. A Pallas kernel holding ONE FRAME's entire
+layer2 residual stream in VMEM pays only 616 MB in + 308 MB out per
+step (≈1.3 ms at 712 GB/s) against a 4.3 ms MXU floor — up to ~2x.
+
+Layer2 (not layer1) is the Pallas-shaped stage: width 128 means every
+GEMM is 128-lane aligned (K ∈ {512, 384, 128}), unlike layer1's
+64-channel bottlenecks which waste half the MXU on K=64 contractions.
+
+Kernel formulation (the part that avoids the stem kernel's fatal
+im2col relayout tax, BASELINE.md 2026-08-16):
+  * the 28x28 spatial grid lives FLATTENED in sublanes on a padded
+    30x32 grid — pixel (i, j) at row 32*(i+1) + (j+1); row stride 32
+    is a multiple of the 8-sublane alignment Mosaic requires, so all
+    3x3 dy-taps are FREE aligned slices of a haloed scratch;
+  * only the two dx = ±1 shifts pay a sublane-shift relayout (2 x
+    0.25 MB per block), and the 3x3 conv collapses to 3 dots of
+    K = 3*128 = 384 (dx packed into the contraction) — full MXU depth;
+  * pad-row bias leakage is killed by masking y1 once per block (the
+    only tensor whose pad rows feed neighbouring taps).
+
+Protocol: salted-chain depth-2 (bench/stages.py conventions), plus a
+bf16-tolerance numeric check of the kernel against the XLA bottleneck
+chain. Input is fed as [N, 56, 28, 512] (a free XLA reshape of the
+[N, 56, 56, 256] layer1 output) so the kernel's stride-2 subsample is
+a lane-slice + untiled-dim stride instead of a sublane gather.
+
+    python bench/layer2_probe.py [--cpu] [--batch 384] [--check-only]
+
+Verdict goes to BASELINE.md either way (VERDICT r3 directive 1
+discipline: measured win or measured negative result).
+"""
+
+import argparse
+import functools
+import json
+import time
+
+import numpy as np
+
+GRID_H, GRID_W = 30, 32          # padded 28x28 grid; row stride 32
+P = GRID_H * GRID_W              # 960 flattened grid rows
+HALO = 32                        # scratch halo rows above/below
+WIDTH, OUT_W, C_IN = 128, 512, 256
+BLOCKS = 4
+
+
+def _mask_positions() -> np.ndarray:
+    """bf16 [P, 1] mask: 1 at valid 28x28 pixels, 0 at grid padding."""
+    r = np.arange(P)
+    i, j = r // GRID_W, r % GRID_W
+    ok = (i >= 1) & (i <= 28) & (j >= 1) & (j <= 28)
+    return ok.astype(np.float32)[:, None]
+
+
+def make_kernel(jnp, pl, pltpu, jax):
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+
+    def _dot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    def kernel(x_ref, wd_ref, w1a_ref, w1b_ref, w2_ref, w3_ref,
+               bd_ref, b1_ref, b2_ref, b3_ref, m_ref,
+               out_ref, a_ref):
+        # -- stride-2 subsample + grid pad (block-0 input) -----------------
+        # x_ref[0]: [56, 28, 512] = layer1 output reshaped so the lane
+        # dim packs (col-parity, channel); even columns = lanes [:256].
+        sub = x_ref[0][::2, :, :256]                    # [28, 28, 256]
+        g = jnp.pad(sub, ((1, 1), (1, 3), (0, 0))).reshape(P, C_IN)
+        mask = m_ref[...].astype(f32)                   # [P, 1]
+
+        # zero the conv2 halo rows once; blocks only write rows
+        # [HALO, HALO + P).
+        a_ref[:HALO] = jnp.zeros((HALO, 3 * WIDTH), bf16)
+        a_ref[HALO + P:] = jnp.zeros((HALO, 3 * WIDTH), bf16)
+
+        x = g.astype(bf16)
+        for b in range(BLOCKS):
+            if b == 0:
+                res = _dot(x, wd_ref[...]) + bd_ref[...].astype(f32)
+                w1 = w1a_ref[...]
+            else:
+                res = x.astype(f32)
+                w1 = w1b_ref[b - 1]
+            y1 = jnp.maximum(_dot(x, w1) + b1_ref[b].astype(f32), 0.0)
+            # mask pad rows: relu(bias) leaks there and the 3x3 taps of
+            # valid pixels read them.
+            y1 = (y1 * mask).astype(bf16)               # [P, 128]
+
+            # conv2: dx packed into lanes (one sublane-shift relayout
+            # per direction), dy via aligned halo slices.
+            zrow = jnp.zeros((1, WIDTH), bf16)
+            ym1 = jnp.concatenate([zrow, y1[:-1]], axis=0)   # y1[r-1]
+            yp1 = jnp.concatenate([y1[1:], zrow], axis=0)    # y1[r+1]
+            a_ref[HALO:HALO + P] = jnp.concatenate(
+                [ym1, y1, yp1], axis=1)                 # [P, 384]
+            acc = _dot(a_ref[0:P], w2_ref[b, 0])             # dy = -1
+            acc += _dot(a_ref[HALO:HALO + P], w2_ref[b, 1])  # dy = 0
+            acc += _dot(a_ref[2 * HALO:2 * HALO + P], w2_ref[b, 2])
+            y2 = jnp.maximum(acc + b2_ref[b].astype(f32), 0.0)
+
+            y3 = _dot(y2.astype(bf16), w3_ref[b]) + b3_ref[b].astype(f32)
+            x = jnp.maximum(y3 + res, 0.0).astype(bf16)      # [P, 512]
+
+        out_ref[0] = x.reshape(GRID_H, GRID_W, OUT_W)[1:29, 1:29, :]
+
+    return kernel
+
+
+def layer2_fused(jax, jnp, pl, pltpu, x, weights, interpret=False):
+    """x: [N, 56, 28, 512] bf16 (reshaped layer1 output). -> [N,28,28,512]."""
+    n = x.shape[0]
+    (wd, bd), (w1a, _), w1b, b1, w2, b2, w3, b3 = weights
+    mask = jnp.asarray(_mask_positions(), jnp.bfloat16)
+    kern = make_kernel(jnp, pl, pltpu, jax)
+    const = lambda *shape: (lambda i: tuple(0 for _ in shape))
+    specs = [
+        pl.BlockSpec((1, 56, 28, 512), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(wd.shape, const(*wd.shape), memory_space=pltpu.VMEM),
+        pl.BlockSpec(w1a.shape, const(*w1a.shape), memory_space=pltpu.VMEM),
+        pl.BlockSpec(w1b.shape, const(*w1b.shape), memory_space=pltpu.VMEM),
+        pl.BlockSpec(w2.shape, const(*w2.shape), memory_space=pltpu.VMEM),
+        pl.BlockSpec(w3.shape, const(*w3.shape), memory_space=pltpu.VMEM),
+        pl.BlockSpec(bd.shape, const(*bd.shape), memory_space=pltpu.VMEM),
+        pl.BlockSpec(b1.shape, const(*b1.shape), memory_space=pltpu.VMEM),
+        pl.BlockSpec(b2.shape, const(*b2.shape), memory_space=pltpu.VMEM),
+        pl.BlockSpec(b3.shape, const(*b3.shape), memory_space=pltpu.VMEM),
+        pl.BlockSpec(mask.shape, const(*mask.shape),
+                     memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, 28, 28, OUT_W), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 28, 28, OUT_W), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((P + 2 * HALO, 3 * WIDTH), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(x, wd, w1a, w1b, w2, w3, bd, b1, b2, b3, mask)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=384)
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--chain", type=int, default=6)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--check-only", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f32 = jnp.float32
+    rng = np.random.default_rng(0)
+
+    def mk(shape, scale=0.05):
+        return jnp.asarray(rng.normal(0, scale, shape)
+                           .astype(np.float32)).astype(jnp.bfloat16)
+
+    # fused-BN inference weights (HWIO conv layout for the XLA baseline)
+    raw = []
+    c = C_IN
+    for b in range(BLOCKS):
+        p = {"conv1": (mk((1, 1, c, WIDTH)), mk((WIDTH,))),
+             "conv2": (mk((3, 3, WIDTH, WIDTH)), mk((WIDTH,))),
+             "conv3": (mk((1, 1, WIDTH, OUT_W)), mk((OUT_W,)))}
+        if b == 0:
+            p["down"] = (mk((1, 1, c, OUT_W)), mk((OUT_W,)))
+        raw.append(p)
+        c = OUT_W
+
+    def conv(x, kb, stride=1, pad=0):
+        k, bias = kb
+        y = lax.conv_general_dilated(
+            x, k, (stride, stride), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias
+
+    def xla_layer2(x):                       # x: [N, 56, 56, 256] bf16
+        for b, p in enumerate(raw):
+            stride = 2 if b == 0 else 1
+            res = conv(x, p["down"], stride) if b == 0 else x
+            y = jnp.maximum(conv(x, p["conv1"], stride), 0)
+            y = jnp.maximum(conv(y, p["conv2"], 1, pad=1), 0)
+            y = conv(y, p["conv3"])
+            x = jnp.maximum(y + res, 0)
+        return x
+
+    # kernel operand packing
+    def pack():
+        wd = raw[0]["down"][0].reshape(C_IN, OUT_W)
+        bd = raw[0]["down"][1].reshape(1, OUT_W).astype(f32)
+        w1a = raw[0]["conv1"][0].reshape(C_IN, WIDTH)
+        w1b = jnp.stack([raw[b]["conv1"][0].reshape(OUT_W, WIDTH)
+                         for b in range(1, BLOCKS)])
+        b1 = jnp.stack([raw[b]["conv1"][1].reshape(1, WIDTH)
+                        for b in range(BLOCKS)]).astype(f32)
+        # W2cat[b, dy]: rows 128*k + c_in for dx = k-1 (matches acat's
+        # lane blocks [y1[r-1], y1[r], y1[r+1]])
+        w2 = jnp.stack([
+            jnp.stack([raw[b]["conv2"][0][dy].reshape(3 * WIDTH, WIDTH)
+                       for dy in range(3)])
+            for b in range(BLOCKS)])
+        b2 = jnp.stack([raw[b]["conv2"][1].reshape(1, WIDTH)
+                        for b in range(BLOCKS)]).astype(f32)
+        w3 = jnp.stack([raw[b]["conv3"][0].reshape(WIDTH, OUT_W)
+                        for b in range(BLOCKS)])
+        b3 = jnp.stack([raw[b]["conv3"][1].reshape(1, OUT_W)
+                        for b in range(BLOCKS)]).astype(f32)
+        return ((wd, bd), (w1a, None), w1b, b1, w2, b2, w3, b3)
+
+    weights = pack()
+    fused = functools.partial(layer2_fused, jax, jnp, pl, pltpu,
+                              weights=weights, interpret=args.cpu)
+
+    # -- numeric check ------------------------------------------------------
+    xs = jnp.asarray(rng.standard_normal((2, 56, 56, 256)), jnp.bfloat16)
+    ref = np.asarray(jax.jit(xla_layer2)(xs), np.float32)
+    got = np.asarray(jax.jit(lambda x: fused(
+        x.reshape(2, 56, 28, 512)))(xs), np.float32)
+    err = np.abs(ref - got).max() / max(1e-6, np.abs(ref).max())
+    print(json.dumps({"check": "fused_vs_xla", "rel_err":
+                      round(float(err), 6)}), flush=True)
+    assert err < 2e-2, err
+    if args.check_only:
+        return
+
+    # -- timing (salted-chain, depth-2 fetch) -------------------------------
+    def timeit(fn, reshape):
+        k = args.chain
+
+        def chained(salt, x):
+            out = 0.0
+            for i in range(k):
+                xi = x + (salt + 17 * i).astype(x.dtype)
+                out += jnp.sum(fn(xi.reshape(reshape) if reshape
+                                  else xi).astype(f32))
+            return out
+
+        jitted = jax.jit(chained)
+        x = jax.jit(lambda: jax.random.normal(
+            jax.random.PRNGKey(1), (args.batch, 56, 56, 256),
+            f32).astype(jnp.bfloat16))()
+        float(jitted(jnp.float32(999), x))
+        t0 = time.perf_counter()
+        pending = jitted(jnp.float32(0), x)
+        for j in range(1, args.iters):
+            nxt = jitted(jnp.float32(j), x)
+            float(pending)
+            pending = nxt
+        float(pending)
+        return (time.perf_counter() - t0) / (args.iters * k)
+
+    gflop = 730.0 * args.batch / 384
+    for name, fn, reshape in (
+            ("xla_layer2", xla_layer2, None),
+            ("pallas_fused", fused, (args.batch, 56, 28, 512))):
+        dt = timeit(fn, reshape)
+        print(json.dumps({"layer2": name,
+                          "ms_per_step": round(dt * 1e3, 3),
+                          "tflops": round(gflop / dt / 1e3, 1)}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
