@@ -114,6 +114,114 @@ def make_kernel(jnp, pl, pltpu, jax):
     return kernel
 
 
+def make_kernel_g4(jnp, pl, pltpu, jax):
+    """Single-block kernel; the block index is grid dim 1 (grid=(N, 4)).
+
+    4x smaller Mosaic program than the unrolled kernel (a hedge against
+    compile-time pathology) and only ONE block's weights resident at a
+    time (BlockSpec-streamed). Block 0's narrower operands are zero-
+    padded to the common [512, *] shapes so all four steps share one
+    code path; the projection-vs-identity residual is the only
+    pl.when-guarded difference.
+    """
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+
+    def _dot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    def kernel(x_ref, wdp_ref, w1_ref, w2_ref, w3_ref,
+               bdp_ref, b1_ref, b2_ref, b3_ref, m_ref,
+               out_ref, s_ref, a_ref):
+        b = pl.program_id(1)
+
+        @pl.when(b == 0)
+        def _init():
+            sub = x_ref[0][::2, :, :256]                # [28, 28, 256]
+            g = jnp.pad(sub, ((1, 1), (1, 3), (0, 0))).reshape(P, C_IN)
+            s_ref[...] = jnp.pad(
+                g, ((0, 0), (0, OUT_W - C_IN))).astype(bf16)
+            a_ref[:HALO] = jnp.zeros((HALO, 3 * WIDTH), bf16)
+            a_ref[HALO + P:] = jnp.zeros((HALO, 3 * WIDTH), bf16)
+
+        mask = m_ref[...].astype(f32)
+        x = s_ref[...]                                  # [P, 512] bf16
+        y1 = jnp.maximum(_dot(x, w1_ref[0]) + b1_ref[0].astype(f32), 0.0)
+        y1 = (y1 * mask).astype(bf16)
+        zrow = jnp.zeros((1, WIDTH), bf16)
+        ym1 = jnp.concatenate([zrow, y1[:-1]], axis=0)
+        yp1 = jnp.concatenate([y1[1:], zrow], axis=0)
+        a_ref[HALO:HALO + P] = jnp.concatenate([ym1, y1, yp1], axis=1)
+        acc = _dot(a_ref[0:P], w2_ref[0, 0])
+        acc += _dot(a_ref[HALO:HALO + P], w2_ref[0, 1])
+        acc += _dot(a_ref[2 * HALO:2 * HALO + P], w2_ref[0, 2])
+        y2 = jnp.maximum(acc + b2_ref[0].astype(f32), 0.0)
+        y3 = _dot(y2.astype(bf16), w3_ref[0]) + b3_ref[0].astype(f32)
+
+        @pl.when(b == 0)
+        def _proj():
+            res = _dot(x, wdp_ref[...]) + bdp_ref[...].astype(f32)
+            s_ref[...] = jnp.maximum(y3 + res, 0.0).astype(bf16)
+
+        @pl.when(b > 0)
+        def _ident():
+            s_ref[...] = jnp.maximum(y3 + x.astype(f32), 0.0).astype(bf16)
+
+        @pl.when(b == BLOCKS - 1)
+        def _emit():
+            out_ref[0] = s_ref[...].reshape(
+                GRID_H, GRID_W, OUT_W)[1:29, 1:29, :]
+
+    return kernel
+
+
+def layer2_fused_g4(jax, jnp, pl, pltpu, x, weights, interpret=False):
+    """grid=(N, 4) variant of :func:`layer2_fused` (same math)."""
+    n = x.shape[0]
+    (wd, bd), (w1a, _), w1b, b1, w2, b2, w3, b3 = weights
+    wdp = jnp.pad(wd, ((0, OUT_W - C_IN), (0, 0)))      # [512, 512]
+    w1p = jnp.concatenate(
+        [jnp.pad(w1a, ((0, OUT_W - C_IN), (0, 0)))[None], w1b])
+    mask = jnp.asarray(_mask_positions(), jnp.bfloat16)
+    kern = make_kernel_g4(jnp, pl, pltpu, jax)
+    const = lambda a: (lambda i, b: tuple(0 for _ in a.shape))
+    perblk = lambda a: (lambda i, b: (b,) + tuple(0 for _ in a.shape[1:]))
+    specs = [
+        pl.BlockSpec((1, 56, 28, 512), lambda i, b: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(wdp.shape, const(wdp), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1,) + w1p.shape[1:], perblk(w1p),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1,) + w2.shape[1:], perblk(w2),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1,) + w3.shape[1:], perblk(w3),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(bd.shape, const(bd), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1,) + b1.shape[1:], perblk(b1),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1,) + b2.shape[1:], perblk(b2),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1,) + b3.shape[1:], perblk(b3),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(mask.shape, const(mask), memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        kern,
+        grid=(n, BLOCKS),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, 28, 28, OUT_W),
+                               lambda i, b: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 28, 28, OUT_W), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((P, OUT_W), jnp.bfloat16),
+            pltpu.VMEM((P + 2 * HALO, 3 * WIDTH), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(x, wdp, w1p, w2, w3, bd, b1, b2, b3, mask)
+
+
 def layer2_fused(jax, jnp, pl, pltpu, x, weights, interpret=False):
     """x: [N, 56, 28, 512] bf16 (reshaped layer1 output). -> [N,28,28,512]."""
     n = x.shape[0]
@@ -157,6 +265,8 @@ def main():
     ap.add_argument("--chain", type=int, default=6)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--check-only", action="store_true")
+    ap.add_argument("--variant", choices=("both", "unrolled", "g4"),
+                    default="both")
     args = ap.parse_args()
 
     import jax
@@ -227,18 +337,23 @@ def main():
         return ((wd, bd), (w1a, None), w1b, b1, w2, b2, w3, b3)
 
     weights = pack()
-    fused = functools.partial(layer2_fused, jax, jnp, pl, pltpu,
-                              weights=weights, interpret=args.cpu)
+    fused_fns = {}
+    for vname, vfn in (("unrolled", layer2_fused), ("g4", layer2_fused_g4)):
+        if args.variant in ("both", vname):
+            fused_fns[vname] = functools.partial(
+                vfn, jax, jnp, pl, pltpu, weights=weights,
+                interpret=args.cpu)
 
     # -- numeric check ------------------------------------------------------
     xs = jnp.asarray(rng.standard_normal((2, 56, 56, 256)), jnp.bfloat16)
     ref = np.asarray(jax.jit(xla_layer2)(xs), np.float32)
-    got = np.asarray(jax.jit(lambda x: fused(
-        x.reshape(2, 56, 28, 512)))(xs), np.float32)
-    err = np.abs(ref - got).max() / max(1e-6, np.abs(ref).max())
-    print(json.dumps({"check": "fused_vs_xla", "rel_err":
-                      round(float(err), 6)}), flush=True)
-    assert err < 2e-2, err
+    for vname, fused in fused_fns.items():
+        got = np.asarray(jax.jit(lambda x, _f=fused: _f(
+            x.reshape(2, 56, 28, 512)))(xs), np.float32)
+        err = np.abs(ref - got).max() / max(1e-6, np.abs(ref).max())
+        print(json.dumps({"check": f"{vname}_vs_xla", "rel_err":
+                          round(float(err), 6)}), flush=True)
+        assert err < 2e-2, (vname, err)
     if args.check_only:
         return
 
@@ -269,9 +384,10 @@ def main():
         return (time.perf_counter() - t0) / (args.iters * k)
 
     gflop = 730.0 * args.batch / 384
-    for name, fn, reshape in (
-            ("xla_layer2", xla_layer2, None),
-            ("pallas_fused", fused, (args.batch, 56, 28, 512))):
+    rows = [("xla_layer2", xla_layer2, None)]
+    rows += [(f"pallas_{v}", f, (args.batch, 56, 28, 512))
+             for v, f in fused_fns.items()]
+    for name, fn, reshape in rows:
         dt = timeit(fn, reshape)
         print(json.dumps({"layer2": name,
                           "ms_per_step": round(dt * 1e3, 3),
