@@ -176,7 +176,50 @@ def make_kernel_g4(jnp, pl, pltpu, jax):
     return kernel
 
 
-def layer2_fused_g4(jax, jnp, pl, pltpu, x, weights, interpret=False):
+def make_kernel_dots(jnp, pl, pltpu, jax):
+    """Timing-attribution kernel: the g4 variant's exact dot sequence
+    (5 MXU dots per block incl. the block-0 projection every step, an
+    upper bound) with NO tap assembly, masks, pads, or shifts — the
+    delta to the full g4 kernel is the VPU/relayout overhead. Output
+    is numerically meaningless."""
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+
+    def _dot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    def kernel(x_ref, wdp_ref, w1_ref, w2_ref, w3_ref,
+               bdp_ref, b1_ref, b2_ref, b3_ref, m_ref,
+               out_ref, s_ref, a_ref):
+        b = pl.program_id(1)
+
+        @pl.when(b == 0)
+        def _init():
+            s_ref[...] = x_ref[0].reshape(56 * 28, 512)[:P].astype(bf16)
+
+        x = s_ref[...]
+        y1 = jnp.maximum(_dot(x, w1_ref[0]) + b1_ref[0].astype(f32), 0.0)
+        a_ref[HALO:HALO + P] = jnp.concatenate([y1] * 3, axis=1).astype(
+            bf16)  # one write, no shifts (keeps operand liveness honest)
+        acc = _dot(a_ref[0:P], w2_ref[0, 0])
+        acc += _dot(a_ref[HALO:HALO + P], w2_ref[0, 1])
+        acc += _dot(a_ref[2 * HALO:2 * HALO + P], w2_ref[0, 2])
+        y2 = jnp.maximum(acc + b2_ref[0].astype(f32), 0.0)
+        y3 = _dot(y2.astype(bf16), w3_ref[0]) + b3_ref[0].astype(f32)
+        res = _dot(x, wdp_ref[...]) + bdp_ref[...].astype(f32)
+        s_ref[...] = jnp.maximum(y3 + res, 0.0).astype(bf16)
+
+        @pl.when(b == BLOCKS - 1)
+        def _emit():
+            out_ref[0] = s_ref[...].reshape(
+                GRID_H, GRID_W, OUT_W)[1:29, 1:29, :]
+
+    return kernel
+
+
+def layer2_fused_g4(jax, jnp, pl, pltpu, x, weights, interpret=False,
+                    dots_only=False):
     """grid=(N, 4) variant of :func:`layer2_fused` (same math)."""
     n = x.shape[0]
     (wd, bd), (w1a, _), w1b, b1, w2, b2, w3, b3 = weights
@@ -184,7 +227,8 @@ def layer2_fused_g4(jax, jnp, pl, pltpu, x, weights, interpret=False):
     w1p = jnp.concatenate(
         [jnp.pad(w1a, ((0, OUT_W - C_IN), (0, 0)))[None], w1b])
     mask = jnp.asarray(_mask_positions(), jnp.bfloat16)
-    kern = make_kernel_g4(jnp, pl, pltpu, jax)
+    kern = (make_kernel_dots if dots_only else make_kernel_g4)(
+        jnp, pl, pltpu, jax)
     const = lambda a: (lambda i, b: tuple(0 for _ in a.shape))
     perblk = lambda a: (lambda i, b: (b,) + tuple(0 for _ in a.shape[1:]))
     specs = [
@@ -267,6 +311,9 @@ def main():
     ap.add_argument("--check-only", action="store_true")
     ap.add_argument("--variant", choices=("both", "unrolled", "g4"),
                     default="both")
+    ap.add_argument("--dots-only", action="store_true",
+                    help="also time the no-relayout dot-sequence kernel "
+                         "(VPU-overhead attribution)")
     args = ap.parse_args()
 
     import jax
@@ -387,6 +434,13 @@ def main():
     rows = [("xla_layer2", xla_layer2, None)]
     rows += [(f"pallas_{v}", f, (args.batch, 56, 28, 512))
              for v, f in fused_fns.items()]
+    if args.dots_only:
+        rows.append(("pallas_g4_dots_only",
+                     functools.partial(layer2_fused_g4, jax, jnp, pl,
+                                       pltpu, weights=weights,
+                                       interpret=args.cpu,
+                                       dots_only=True),
+                     (args.batch, 56, 28, 512)))
     for name, fn, reshape in rows:
         dt = timeit(fn, reshape)
         print(json.dumps({"layer2": name,
