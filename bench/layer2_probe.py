@@ -26,9 +26,11 @@ im2col relayout tax, BASELINE.md 2026-08-16):
 
 Protocol: salted-chain depth-2 (bench/stages.py conventions), plus a
 bf16-tolerance numeric check of the kernel against the XLA bottleneck
-chain. Input is fed as [N, 56, 28, 512] (a free XLA reshape of the
-[N, 56, 56, 256] layer1 output) so the kernel's stride-2 subsample is
-a lane-slice + untiled-dim stride instead of a sublane gather.
+chain. Input is fed as [N, 28, 2, 28, 512] (a free XLA reshape of
+the [N, 56, 56, 256] layer1 output): the BlockSpec selects the
+even-row plane directly, so the stride-2 subsample costs no in-kernel
+ops AND the input DMA ships only the rows block 0 consumes (308
+instead of 616 MB per 384-frame step).
 
     python bench/layer2_probe.py [--cpu] [--batch 384] [--check-only]
 
@@ -69,10 +71,12 @@ def make_kernel(jnp, pl, pltpu, jax):
     def kernel(x_ref, wd_ref, w1a_ref, w1b_ref, w2_ref, w3_ref,
                bd_ref, b1_ref, b2_ref, b3_ref, m_ref,
                out_ref, a_ref):
-        # -- stride-2 subsample + grid pad (block-0 input) -----------------
-        # x_ref[0]: [56, 28, 512] = layer1 output reshaped so the lane
-        # dim packs (col-parity, channel); even columns = lanes [:256].
-        sub = x_ref[0][::2, :, :256]                    # [28, 28, 256]
+        # -- grid pad (block-0 input) ---------------------------------------
+        # x_ref[0, :, 0]: the even-row plane of the [N, 28, 2, 28, 512]
+        # reshaped layer1 output (BlockSpec-selected — no strided load);
+        # the lane dim packs (col-parity, channel): lanes [:256] are the
+        # even columns' 256 channels.
+        sub = x_ref[0, :, 0, :, :256]                   # [28, 28, 256]
         g = jnp.pad(sub, ((1, 1), (1, 3), (0, 0))).reshape(P, C_IN)
         mask = m_ref[...].astype(f32)                   # [P, 1]
 
@@ -138,7 +142,7 @@ def make_kernel_g4(jnp, pl, pltpu, jax):
 
         @pl.when(b == 0)
         def _init():
-            sub = x_ref[0][::2, :, :256]                # [28, 28, 256]
+            sub = x_ref[0, :, 0, :, :256]               # [28, 28, 256]
             g = jnp.pad(sub, ((1, 1), (1, 3), (0, 0))).reshape(P, C_IN)
             s_ref[...] = jnp.pad(
                 g, ((0, 0), (0, OUT_W - C_IN))).astype(bf16)
@@ -196,7 +200,9 @@ def make_kernel_dots(jnp, pl, pltpu, jax):
 
         @pl.when(b == 0)
         def _init():
-            s_ref[...] = x_ref[0].reshape(56 * 28, 512)[:P].astype(bf16)
+            s_ref[...] = jnp.concatenate(
+                [x_ref[0, :, 0].reshape(28 * 28, 512)] * 2,
+                axis=0)[:P].astype(bf16)
 
         x = s_ref[...]
         y1 = jnp.maximum(_dot(x, w1_ref[0]) + b1_ref[0].astype(f32), 0.0)
@@ -232,7 +238,7 @@ def layer2_fused_g4(jax, jnp, pl, pltpu, x, weights, interpret=False,
     const = lambda a: (lambda i, b: tuple(0 for _ in a.shape))
     perblk = lambda a: (lambda i, b: (b,) + tuple(0 for _ in a.shape[1:]))
     specs = [
-        pl.BlockSpec((1, 56, 28, 512), lambda i, b: (i, 0, 0, 0),
+        pl.BlockSpec((1, 28, 1, 28, 512), lambda i, b: (i, 0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(wdp.shape, const(wdp), memory_space=pltpu.VMEM),
         pl.BlockSpec((1,) + w1p.shape[1:], perblk(w1p),
@@ -267,14 +273,14 @@ def layer2_fused_g4(jax, jnp, pl, pltpu, x, weights, interpret=False,
 
 
 def layer2_fused(jax, jnp, pl, pltpu, x, weights, interpret=False):
-    """x: [N, 56, 28, 512] bf16 (reshaped layer1 output). -> [N,28,28,512]."""
+    """x: [N, 28, 2, 28, 512] bf16 (reshaped layer1 output) -> [N,28,28,512]."""
     n = x.shape[0]
     (wd, bd), (w1a, _), w1b, b1, w2, b2, w3, b3 = weights
     mask = jnp.asarray(_mask_positions(), jnp.bfloat16)
     kern = make_kernel(jnp, pl, pltpu, jax)
     const = lambda *shape: (lambda i: tuple(0 for _ in shape))
     specs = [
-        pl.BlockSpec((1, 56, 28, 512), lambda i: (i, 0, 0, 0),
+        pl.BlockSpec((1, 28, 1, 28, 512), lambda i: (i, 0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(wd.shape, const(*wd.shape), memory_space=pltpu.VMEM),
         pl.BlockSpec(w1a.shape, const(*w1a.shape), memory_space=pltpu.VMEM),
@@ -396,7 +402,7 @@ def main():
     ref = np.asarray(jax.jit(xla_layer2)(xs), np.float32)
     for vname, fused in fused_fns.items():
         got = np.asarray(jax.jit(lambda x, _f=fused: _f(
-            x.reshape(2, 56, 28, 512)))(xs), np.float32)
+            x.reshape(2, 28, 2, 28, 512)))(xs), np.float32)
         err = np.abs(ref - got).max() / max(1e-6, np.abs(ref).max())
         print(json.dumps({"check": f"{vname}_vs_xla", "rel_err":
                           round(float(err), 6)}), flush=True)
@@ -432,7 +438,7 @@ def main():
 
     gflop = 730.0 * args.batch / 384
     rows = [("xla_layer2", xla_layer2, None)]
-    rows += [(f"pallas_{v}", f, (args.batch, 56, 28, 512))
+    rows += [(f"pallas_{v}", f, (args.batch, 28, 2, 28, 512))
              for v, f in fused_fns.items()]
     if args.dots_only:
         rows.append(("pallas_g4_dots_only",
@@ -440,7 +446,7 @@ def main():
                                        pltpu, weights=weights,
                                        interpret=args.cpu,
                                        dots_only=True),
-                     (args.batch, 56, 28, 512)))
+                     (args.batch, 28, 2, 28, 512)))
     for name, fn, reshape in rows:
         dt = timeit(fn, reshape)
         print(json.dumps({"layer2": name,
