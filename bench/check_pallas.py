@@ -132,6 +132,24 @@ def main() -> int:
         report(f"stem_fused[{np.dtype(dtype).name}]", got, want,
                tol=tol, scale_relative=True)
 
+    # -- 4. fused layer2 kernel vs the XLA bottleneck chain ---------------
+    from mimamo_tpu import backbone as backbone_mod
+    from mimamo_tpu.pallas import layer2_kernel
+
+    spec2 = BackboneSpec(dtype="bfloat16")
+    full = backbone_mod.ResNet50(spec2)
+    variables = full.init(jax.random.PRNGKey(4), jnp.zeros((1, 64, 64, 3)))
+    folded = backbone_mod.fold_batchnorm(variables)
+    seg = backbone_mod.ResNet50(spec2, fused_bn=True, skip_stem=True,
+                                stages=(1,), features_only=True)
+    x2 = jnp.asarray(rng.standard_normal((2, 56, 56, 256))
+                     .astype(np.float32)).astype(jnp.bfloat16)
+    want = jax.jit(lambda v, a: seg.apply(v, a))(folded, x2)
+    packed = layer2_kernel.pack_layer2_params(folded["params"])
+    got = layer2_kernel.layer2_fused(x2, packed, interpret=interp)
+    report("layer2_fused[bfloat16]", got, want, tol=2e-2,
+           scale_relative=True)
+
     print(json.dumps({"pallas_parity": "FAIL" if FAILED else "ok",
                       "failed": FAILED}), flush=True)
     return 1 if FAILED else 0

@@ -97,13 +97,22 @@ class ResNet50(nn.Module):
     stride_in_1x1: bool = True
     fused_bn: bool = False
     skip_stem: bool = False
+    # Trunk segmentation for externally-lowered stages (the Pallas
+    # fused layer2 — pallas/layer2_kernel.py): ``stages`` picks which
+    # of layer1..layer4 this module applies (absolute indices, so flax
+    # param names stay aligned with the full model and one variables
+    # dict serves every segment); ``features_only`` skips pool5/fc and
+    # returns the [N, H', W', C] feature map.
+    stages: Tuple[int, ...] = (0, 1, 2, 3)
+    features_only: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """images: [N, H, W, 3] *already preprocessed* (see preprocess_images).
 
-        Returns (embeddings [N, 2048], logits [N, num_classes]).
+        Returns (embeddings [N, 2048], logits [N, num_classes]);
+        with ``features_only`` just the trunk feature map.
         """
         if self.fused_bn and train:
             raise ValueError("fused_bn is an inference-only variant")
@@ -123,12 +132,16 @@ class ResNet50(nn.Module):
                             padding=((1, 1), (1, 1)))
         for stage, (blocks, width) in enumerate(
                 zip(STAGE_SIZES, STAGE_WIDTHS)):
+            if stage not in self.stages:
+                continue
             for block in range(blocks):
                 stride = 2 if (stage > 0 and block == 0) else 1
                 x = Bottleneck(width, stride, self.stride_in_1x1, dtype,
                                fused_bn=self.fused_bn,
                                name=f"layer{stage + 1}_{block}")(
                                    x, train=train)
+        if self.features_only:
+            return x
         emb = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)  # pool5_7x7_s1
         logits = nn.Dense(self.spec.num_classes, name="fc")(emb)
         return emb, logits

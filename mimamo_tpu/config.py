@@ -117,6 +117,16 @@ class BackboneSpec:
     # reference two-step lowering. Training and non-folded-BN paths
     # always use "upscale".
     stem_mode: str = "composite"   # "composite" | "upscale"
+    # layer2 lowering for the fused bf16 inference path. "pallas" runs
+    # the four layer2 bottlenecks as ONE VMEM-resident kernel
+    # (pallas/layer2_kernel.py): the roofline's biggest bytes-bound
+    # stage (74% of measured HBM BW at 46% MFU) fused past XLA's
+    # conv-boundary fusion limit. Requires fold_bn_inference, bf16
+    # backbone dtype, and a real TPU (non-TPU backends fall back to
+    # the conv path at trace time). Default per the measured verdict
+    # in BASELINE.md round 4; training and non-folded paths always use
+    # "conv".
+    layer2_mode: str = "conv"      # "conv" | "pallas"
 
     def __post_init__(self):
         if self.appearance_stride < 1:
@@ -126,6 +136,9 @@ class BackboneSpec:
         if self.stem_mode not in ("composite", "upscale"):
             raise ValueError(f"stem_mode must be 'composite' or "
                              f"'upscale', got {self.stem_mode!r}")
+        if self.layer2_mode not in ("conv", "pallas"):
+            raise ValueError(f"layer2_mode must be 'conv' or 'pallas', "
+                             f"got {self.layer2_mode!r}")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -88,6 +88,19 @@ class Mimamo:
         # post-pool features). Applied with the same folded variables.
         self.backbone_trunk = ResNet50(self.config.backbone,
                                        fused_bn=True, skip_stem=True)
+        # Trunk segments for the Pallas fused-layer2 path
+        # (pallas/layer2_kernel.py, layer2_mode="pallas"): layer1-only
+        # feature segments (with/without stem, matching the two fused
+        # entry shapes) and the layer3/4 + head tail. All segments
+        # apply with the one folded variables dict (absolute stage
+        # names; flax ignores unused entries).
+        bs = self.config.backbone
+        self.backbone_l1 = ResNet50(bs, fused_bn=True, skip_stem=True,
+                                    stages=(0,), features_only=True)
+        self.backbone_stem_l1 = ResNet50(bs, fused_bn=True, stages=(0,),
+                                         features_only=True)
+        self.backbone_l34 = ResNet50(bs, fused_bn=True, skip_stem=True,
+                                     stages=(2, 3))
         self.temporal = TwoStreamRNN(self.config.temporal)
 
     # -- initialization ----------------------------------------------------
@@ -134,9 +147,25 @@ class Mimamo:
                 and h == w and bs.input_size == 2 * w
                 and w >= 8 and w % 2 == 0)
 
+    def _pallas_layer2_ok(self) -> bool:
+        """Trace-time gate for the fused-layer2 kernel: opt-in config,
+        bf16 backbone, real TPU (Mosaic); shape is checked at the
+        split site (layer1 features must be [N, 56, 56, 256])."""
+        bs = self.config.backbone
+        return (bs.layer2_mode == "pallas" and bs.dtype == "bfloat16"
+                and _on_tpu())
+
+    def _finish_from_layer1(self, folded, feats):
+        """layer1 features -> (emb, logits) via the Pallas fused layer2
+        (pallas/layer2_kernel.py) + the layer3/4 trunk tail."""
+        from .pallas.layer2_kernel import (layer2_fused,
+                                           pack_layer2_params)
+        y = layer2_fused(feats, pack_layer2_params(folded["params"]))
+        return self.backbone_l34.apply(folded, y)
+
     def _apply_fused(self, variables: Variables, crops_flat: jnp.ndarray):
         """Folded-BN backbone forward on [N, S, S, 3] raw 0..255 crops,
-        via the composite stem when the config/shape allow it."""
+        via the composite stem / fused layer2 when config+shape allow."""
         from .backbone import composite_stem, fold_batchnorm
         folded = fold_batchnorm(variables["backbone"])
         if self._composite_stem_ok(crops_flat.shape[-3:-1]):
@@ -144,10 +173,17 @@ class Mimamo:
                                   folded["params"]["conv1"]["kernel"],
                                   folded["params"]["conv1"]["bias"],
                                   self.config.backbone)
+            if self._pallas_layer2_ok():
+                feats = self.backbone_l1.apply(folded, stem)
+                if feats.shape[1:] == (56, 56, 256):
+                    return self._finish_from_layer1(folded, feats)
             return self.backbone_trunk.apply(folded, stem)
-        return self.backbone_fused.apply(
-            folded, preprocess.for_backbone(crops_flat,
-                                            self.config.backbone))
+        x = preprocess.for_backbone(crops_flat, self.config.backbone)
+        if self._pallas_layer2_ok():
+            feats = self.backbone_stem_l1.apply(folded, x)
+            if feats.shape[1:] == (56, 56, 256):
+                return self._finish_from_layer1(folded, feats)
+        return self.backbone_fused.apply(folded, x)
 
     def _embed_every(self, variables: Variables,
                      crops_rgb: jnp.ndarray) -> jnp.ndarray:

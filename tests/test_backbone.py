@@ -283,3 +283,82 @@ class TestCompositeStem:
         with pytest.raises(ValueError, match="composite_stem"):
             backbone.composite_stem(jnp.zeros((1, 6, 6, 3)), k7, b,
                                     BackboneSpec(input_size=12))
+
+
+class TestPallasLayer2:
+    """Fused-layer2 kernel (pallas/layer2_kernel.py) vs the XLA
+    bottleneck chain, plus the trunk segmentation it rides on."""
+
+    @staticmethod
+    def _folded(dtype):
+        spec = BackboneSpec(dtype=dtype)
+        full = backbone.ResNet50(spec)
+        variables = full.init(jax.random.PRNGKey(4),
+                              jnp.zeros((1, 64, 64, 3)))
+        return spec, backbone.fold_batchnorm(variables)
+
+    def test_kernel_matches_xla_layer2(self):
+        from mimamo_tpu.pallas.layer2_kernel import (layer2_fused,
+                                                     pack_layer2_params)
+        spec, folded = self._folded("bfloat16")
+        seg = backbone.ResNet50(spec, fused_bn=True, skip_stem=True,
+                                stages=(1,), features_only=True)
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.standard_normal((2, 56, 56, 256))
+                        .astype(np.float32)).astype(jnp.bfloat16)
+        want = np.asarray(seg.apply(folded, x), np.float32)
+        got = np.asarray(layer2_fused(
+            x, pack_layer2_params(folded["params"]), interpret=True),
+            np.float32)
+        assert got.shape == want.shape == (2, 28, 28, 512)
+        err = np.abs(got - want).max() / max(1e-6, np.abs(want).max())
+        assert err < 2e-2, err  # bf16 class: f32-accum dots vs XLA conv
+
+    def test_trunk_segmentation_matches_full_trunk(self):
+        """stages/features_only segmentation (layer1 -> layer2 ->
+        layer3/4+head) == the whole trunk, same folded dict (f32)."""
+        spec, folded = self._folded("float32")
+        trunk = backbone.ResNet50(spec, fused_bn=True, skip_stem=True)
+        l1 = backbone.ResNet50(spec, fused_bn=True, skip_stem=True,
+                               stages=(0,), features_only=True)
+        l2 = backbone.ResNet50(spec, fused_bn=True, skip_stem=True,
+                               stages=(1,), features_only=True)
+        l34 = backbone.ResNet50(spec, fused_bn=True, skip_stem=True,
+                                stages=(2, 3))
+        rng = np.random.default_rng(7)
+        stem = jnp.asarray(rng.standard_normal((2, 56, 56, 64))
+                           .astype(np.float32))
+        want_emb, want_logits = trunk.apply(folded, stem)
+        got_emb, got_logits = l34.apply(
+            folded, l2.apply(folded, l1.apply(folded, stem)))
+        np.testing.assert_allclose(np.asarray(got_emb),
+                                   np.asarray(want_emb),
+                                   atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(got_logits),
+                                   np.asarray(want_logits),
+                                   atol=2e-4, rtol=1e-3)
+
+    def test_layer2_mode_validated(self):
+        with pytest.raises(ValueError):
+            BackboneSpec(layer2_mode="bogus")
+
+    def test_pallas_mode_on_cpu_falls_back_to_conv(self):
+        """layer2_mode='pallas' off-TPU must trace the conv path (the
+        kernel needs Mosaic) and match layer2_mode='conv' exactly."""
+        import dataclasses
+        from test_runner import tiny_config
+        from mimamo_tpu.runner import Mimamo
+        cfg = tiny_config()
+        mk = lambda mode: Mimamo(dataclasses.replace(
+            cfg, backbone=dataclasses.replace(
+                cfg.backbone, dtype="bfloat16", layer2_mode=mode)))
+        m_conv, m_pal = mk("conv"), mk("pallas")
+        variables = jax.jit(m_conv.init_variables)(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(8)
+        crops = jnp.asarray(
+            rng.uniform(0, 255, (1, 3, cfg.clip.crop_size,
+                                 cfg.clip.crop_size, 3))
+            .astype(np.float32))
+        want = np.asarray(m_conv.embed_frames(variables, crops))
+        got = np.asarray(m_pal.embed_frames(variables, crops))
+        np.testing.assert_allclose(got, want, atol=0, rtol=0)
