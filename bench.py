@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--appearance-stride", type=int, default=1,
                     help="ResNet every k-th frame + embedding "
                          "interpolation (opt-in, non-parity)")
+    ap.add_argument("--layer2-mode", default="conv",
+                    choices=["conv", "pallas"],
+                    help="layer2 lowering A/B (pallas = fused "
+                         "VMEM-resident kernel; TPU+bf16 only)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--verbose", action="store_true",
                     help="print stage timings to stderr")
@@ -55,7 +59,8 @@ def main():
     cfg = MimamoConfig(
         backbone=BackboneSpec(dtype=args.dtype,
                               input_size=args.backbone_size,
-                              appearance_stride=args.appearance_stride),
+                              appearance_stride=args.appearance_stride,
+                              layer2_mode=args.layer2_mode),
         temporal=TemporalSpec(streams=args.streams),
         clip=ClipSpec(clip_len=args.clip_len, stride=args.clip_len // 2),
     )
