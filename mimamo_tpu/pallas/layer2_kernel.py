@@ -59,6 +59,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Test-only escape: force interpreter-mode lowering so the runner's
+# layer2_mode="pallas" split path can run (and be parity-tested) on the
+# CPU backend, where Mosaic cannot lower. Read at trace time by
+# runner._pallas_layer2_ok/_finish_from_layer1; never set in production.
+_FORCE_INTERPRET = False
+
 GRID_H, GRID_W = 30, 32          # padded 28x28 grid; row stride 32
 P = GRID_H * GRID_W              # 960 flattened grid rows
 HALO = 32                        # scratch halo rows above/below

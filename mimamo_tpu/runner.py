@@ -149,18 +149,21 @@ class Mimamo:
 
     def _pallas_layer2_ok(self) -> bool:
         """Trace-time gate for the fused-layer2 kernel: opt-in config,
-        bf16 backbone, real TPU (Mosaic); shape is checked at the
+        bf16 backbone, real TPU (Mosaic; tests force interpreter mode
+        via layer2_kernel._FORCE_INTERPRET); shape is checked at the
         split site (layer1 features must be [N, 56, 56, 256])."""
+        from .pallas import layer2_kernel
         bs = self.config.backbone
         return (bs.layer2_mode == "pallas" and bs.dtype == "bfloat16"
-                and _on_tpu())
+                and (_on_tpu() or layer2_kernel._FORCE_INTERPRET))
 
     def _finish_from_layer1(self, folded, feats):
         """layer1 features -> (emb, logits) via the Pallas fused layer2
         (pallas/layer2_kernel.py) + the layer3/4 trunk tail."""
-        from .pallas.layer2_kernel import (layer2_fused,
-                                           pack_layer2_params)
-        y = layer2_fused(feats, pack_layer2_params(folded["params"]))
+        from .pallas import layer2_kernel
+        y = layer2_kernel.layer2_fused(
+            feats, layer2_kernel.pack_layer2_params(folded["params"]),
+            interpret=layer2_kernel._FORCE_INTERPRET)
         return self.backbone_l34.apply(folded, y)
 
     def _apply_fused(self, variables: Variables, crops_flat: jnp.ndarray):

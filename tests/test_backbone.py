@@ -362,3 +362,32 @@ class TestPallasLayer2:
         want = np.asarray(m_conv.embed_frames(variables, crops))
         got = np.asarray(m_pal.embed_frames(variables, crops))
         np.testing.assert_allclose(got, want, atol=0, rtol=0)
+
+    def test_runner_pallas_split_matches_conv_at_flagship_shape(self):
+        """The REAL wiring: embed_frames with layer2_mode='pallas'
+        (kernel forced to interpreter mode — CPU) == the conv path, at
+        the flagship 112-crop/224-backbone shape the kernel requires.
+        Covers folded-param packing inside the jitted program, the
+        layer1/layer2/layer3+4 segmentation, and the kernel itself."""
+        import dataclasses
+        from mimamo_tpu.config import (BackboneSpec, ClipSpec,
+                                       MimamoConfig)
+        from mimamo_tpu.pallas import layer2_kernel
+        from mimamo_tpu.runner import Mimamo
+        mk = lambda mode: Mimamo(MimamoConfig(
+            backbone=BackboneSpec(dtype="bfloat16", layer2_mode=mode),
+            clip=ClipSpec(clip_len=2, stride=1)))
+        m_conv, m_pal = mk("conv"), mk("pallas")
+        variables = jax.jit(m_conv.init_variables)(jax.random.PRNGKey(1))
+        rng = np.random.default_rng(9)
+        crops = jnp.asarray(rng.uniform(0, 255, (1, 2, 112, 112, 3))
+                            .astype(np.float32))
+        want = np.asarray(m_conv.embed_frames(variables, crops))
+        layer2_kernel._FORCE_INTERPRET = True
+        try:
+            got = np.asarray(m_pal.embed_frames(variables, crops))
+        finally:
+            layer2_kernel._FORCE_INTERPRET = False
+        assert got.shape == want.shape
+        scale = max(1e-6, np.abs(want).max())
+        assert np.abs(got - want).max() / scale < 2e-2  # bf16 class
