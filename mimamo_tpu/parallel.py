@@ -137,7 +137,7 @@ def sharded_ccc(preds: Any, golds: Any, mesh: Mesh,
     count, so ragged global batches score identically to the unpadded
     host computation.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     b = preds.shape[0]
     if mask is None:
