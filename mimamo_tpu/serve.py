@@ -22,6 +22,8 @@ Protocol (one JSON object per line; responses echo ``id`` if present):
       -> {"ok": true, "slot": i}          # claims a StreamingSession slot
   {"cmd": "stream_feed", "stream": NAME, "crops": PATH.npy | "data": [...]}
       -> {"ok": true, "values": [[v, a], ...]}   # one fixed-size chunk
+  {"cmd": "stream_feed_multi", "streams": {NAME: PATH.npy | [...], ...}}
+      -> {"ok": true, "values": {NAME: [[v, a], ...]}}  # ONE device step
   {"cmd": "stream_close", "stream": NAME}
       -> {"ok": true}
   {"cmd": "shutdown"}
@@ -165,26 +167,62 @@ class Server:
         self._streams[name] = slot
         return {"slot": slot}
 
-    def _cmd_stream_feed(self, req) -> Dict[str, Any]:
-        name = req["stream"]
-        if name not in self._streams:
-            raise ValueError(f"stream {name!r} is not open")
-        if "crops" in req:
-            frames = np.load(self._check_path(req["crops"], "crops"))
-        elif "data" in req:
-            frames = np.asarray(req["data"], np.float32)
+    def _load_chunk(self, source) -> np.ndarray:
+        """Chunk from an npy path (str) or an inline array (list)."""
+        if isinstance(source, str):
+            frames = np.load(self._check_path(source, "crops"))
         else:
-            raise ValueError("stream_feed needs 'crops' (npy path) "
-                             "or 'data' (inline array)")
-        slot = self._streams[name]
+            frames = np.asarray(source, np.float32)
         if (np.issubdtype(self.session.dtype, np.integer)
                 and np.issubdtype(frames.dtype, np.floating)):
             # round, don't truncate: a uint8 session must match a float
             # session for clients sending non-integral pixel values
             frames = np.clip(np.rint(frames), 0, 255)
-        out = self.session.feed({slot: frames.astype(self.session.dtype)})
-        return {"values": [[round(float(v), 6), round(float(a), 6)]
-                           for v, a in out[slot]]}
+        return frames.astype(self.session.dtype)
+
+    @staticmethod
+    def _fmt_values(vals) -> list:
+        return [[round(float(v), 6), round(float(a), 6)] for v, a in vals]
+
+    def _cmd_stream_feed(self, req) -> Dict[str, Any]:
+        name = req["stream"]
+        if name not in self._streams:
+            raise ValueError(f"stream {name!r} is not open")
+        if "crops" in req:
+            frames = self._load_chunk(req["crops"])
+        elif "data" in req:
+            frames = self._load_chunk(req["data"])
+        else:
+            raise ValueError("stream_feed needs 'crops' (npy path) "
+                             "or 'data' (inline array)")
+        out = self.session.feed({self._streams[name]: frames})
+        return {"values": self._fmt_values(out[self._streams[name]])}
+
+    def _cmd_stream_feed_multi(self, req) -> Dict[str, Any]:
+        """Advance MANY streams in one device step.
+
+        ``{"cmd": "stream_feed_multi", "streams": {name: npy-path |
+        inline array, ...}}`` -> ``{"values": {name: [[v, a], ...]}}``.
+
+        The batch-of-streams session always executes a full
+        [capacity, ...] step regardless of how many slots advance
+        (streaming.py static-shape design), so feeding N streams
+        through N ``stream_feed`` requests costs N device steps while
+        this costs ONE — the intended operating point of a
+        full-capacity server (measured in bench/serve_bench.py).
+        """
+        streams = req.get("streams")
+        if not isinstance(streams, dict) or not streams:
+            raise ValueError("stream_feed_multi needs a non-empty "
+                             "'streams' {name: chunk} mapping")
+        missing = [n for n in streams if n not in self._streams]
+        if missing:
+            raise ValueError(f"streams not open: {missing}")
+        feed = {self._streams[n]: self._load_chunk(src)
+                for n, src in streams.items()}
+        out = self.session.feed(feed)
+        return {"values": {n: self._fmt_values(out[self._streams[n]])
+                           for n in streams}}
 
     def _cmd_stream_close(self, req) -> Dict[str, Any]:
         name = req["stream"]

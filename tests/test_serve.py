@@ -92,6 +92,39 @@ class TestDispatch:
         assert r["ok"] and len(r["values"]) == 4
         server.handle({"cmd": "stream_close", "stream": "f"})
 
+    def test_stream_feed_multi_matches_one_session_step(self, server,
+                                                        tmp_path):
+        """Multi-feed == a single StreamingSession.feed with the same
+        slot dict (ONE device step for N streams), mixing npy-path and
+        inline chunk sources."""
+        model = Mimamo(tiny_config())
+        ref = StreamingSession(model, server.api.variables, capacity=3,
+                               chunk=4)
+        ca, cb = _chunk(21), _chunk(22)
+        sa, sb = ref.add_stream(), ref.add_stream()
+        want = ref.feed({sa: ca, sb: cb})
+
+        p = str(tmp_path / "m.npy")
+        np.save(p, ca)
+        server.handle({"cmd": "stream_open", "stream": "ma"})
+        server.handle({"cmd": "stream_open", "stream": "mb"})
+        r = server.handle({"cmd": "stream_feed_multi",
+                           "streams": {"ma": p, "mb": cb.tolist()}})
+        assert r["ok"], r
+        np.testing.assert_allclose(np.asarray(r["values"]["ma"]),
+                                   want[sa], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(r["values"]["mb"]),
+                                   want[sb], atol=1e-5)
+
+        # error paths: unopened name / empty mapping; daemon survives
+        r = server.handle({"cmd": "stream_feed_multi",
+                           "streams": {"ma": p, "nope": p}})
+        assert not r["ok"] and "nope" in r["error"]
+        assert not server.handle({"cmd": "stream_feed_multi",
+                                  "streams": {}})["ok"]
+        for n in ("ma", "mb"):
+            assert server.handle({"cmd": "stream_close", "stream": n})["ok"]
+
     def test_capacity_exhaustion_is_error(self, server):
         names = [f"cap{i}" for i in range(4)]
         opened = []
