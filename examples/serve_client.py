@@ -99,7 +99,22 @@ def main():
                   f"{vals[:, 0].mean():+.3f} / "
                   f"{vals[:, 1].mean():+.3f}")
     print("response order (predict interleaves):", order)
-    client.request(cmd="stream_close", stream="cam0")
+
+    # Full-capacity serving: feed MANY streams in ONE device step.
+    # Every feed executes a full [capacity, ...] batch (static shapes),
+    # so batching arrivals into stream_feed_multi is capacity-x cheaper
+    # than a per-stream round-robin (measured 3.7x at capacity 8 —
+    # bench/serve_bench.py).
+    client.request(cmd="stream_open", stream="cam1")
+    r = client.request(cmd="stream_feed_multi", streams={
+        "cam0": rng.uniform(0, 255, (8, 32, 32, 3)).tolist(),
+        "cam1": rng.uniform(0, 255, (8, 32, 32, 3)).tolist()})
+    for name, vals in sorted(r["values"].items()):
+        vals = np.asarray(vals)
+        print(f"multi[{name}]: v/a mean = {vals[:, 0].mean():+.3f} / "
+              f"{vals[:, 1].mean():+.3f}")
+    for name in ("cam0", "cam1"):
+        client.request(cmd="stream_close", stream=name)
     print("shutdown:", client.close())
 
 
