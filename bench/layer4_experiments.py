@@ -181,7 +181,7 @@ def main():
         return x[:, :7, :7, :]
     conv_pad8.pre_strided = True
 
-    def with_pool(fn, pad8=False):
+    def with_pool(fn):
         def f(x):
             y = fn(x).astype(f32)
             return jnp.mean(y, axis=(1, 2))

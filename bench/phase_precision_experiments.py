@@ -42,10 +42,11 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    import dataclasses
+    import os
     import sys
-    sys.path.insert(0, ".")
-    sys.path.insert(0, "tests")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    sys.path.insert(0, os.path.join(repo, "tests"))
     import jax.numpy as jnp
 
     from mimamo_tpu import phase as phase_mod

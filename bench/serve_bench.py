@@ -40,14 +40,14 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _rpc(proc, req, deadline=600.0):
+def _rpc(proc, req):
     proc.stdin.write(json.dumps(req) + "\n")
     proc.stdin.flush()
     t0 = time.perf_counter()
     line = proc.stdout.readline()
     dt = time.perf_counter() - t0
     if not line:
-        raise RuntimeError("daemon died: " + proc.stderr.read()[-2000:])
+        raise RuntimeError("daemon died (see its stderr log)")
     resp = json.loads(line)
     if not resp.get("ok", False):
         raise RuntimeError(f"request failed: {resp}")
@@ -110,9 +110,13 @@ def main():
            "--uint8-streams"]
     if args.cpu:
         cmd.append("--cpu")
+    # stderr to a FILE, not a pipe: an undrained 64 KB stderr pipe
+    # deadlocks a chatty daemon mid-run (the exact failure mode
+    # tests/test_multiprocess.py documents for jax subprocesses).
+    errlog = open(os.path.join(tmp, "daemon_stderr.log"), "w")
     proc = subprocess.Popen(cmd, cwd=REPO, stdin=subprocess.PIPE,
                             stdout=subprocess.PIPE,
-                            stderr=subprocess.PIPE, text=True)
+                            stderr=errlog, text=True)
     try:
         t0 = time.perf_counter()
         ready = json.loads(proc.stdout.readline())
@@ -201,11 +205,18 @@ def main():
 
         _rpc(proc, {"cmd": "shutdown"})
     finally:
+        # NEVER leave the daemon alive: an orphaned TPU client wedges
+        # the tunnel for every subsequent process (CLAUDE.md).
         try:
             proc.stdin.close()
         except OSError:
             pass
-        proc.wait(timeout=60)
+        try:
+            proc.wait(timeout=60)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait(timeout=30)
+        errlog.close()
 
 
 if __name__ == "__main__":

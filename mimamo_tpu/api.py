@@ -117,8 +117,13 @@ def _windowed_crop_pipeline(model, video_path: str,
         raise ValueError(
             f"boxes file: expected shape {(t_total, 4)}, got "
             f"{boxes_file.shape}")
+    # The cross-window concatenate joins potentially-large device
+    # buffers: run it under the process-wide in-flight cap so it can't
+    # stack on top of a concurrent caller's capped dispatches
+    # (mimamo_tpu.dispatch; round-4 second-pass review finding).
+    from . import dispatch as _dp
     crops = (crops_parts[0] if len(crops_parts) == 1
-             else jnp.concatenate(crops_parts, axis=0))
+             else _dp.run_settled(jnp.concatenate, crops_parts, axis=0))
     return (crops,
             np.concatenate(boxes_parts) if boxes_parts else None,
             np.concatenate(lm_parts) if lm_parts else None)

@@ -59,6 +59,12 @@ class PyramidSpec:
                 f"input_size {self.input_size} must be divisible by "
                 f"2**height = {1 << self.height}"
             )
+        if self.fft_mode not in ("auto", "fft", "matmul"):
+            raise ValueError(f"fft_mode must be 'auto', 'fft' or "
+                             f"'matmul', got {self.fft_mode!r}")
+        if self.dft_precision not in ("highest", "high"):
+            raise ValueError(f"dft_precision must be 'highest' or "
+                             f"'high', got {self.dft_precision!r}")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -87,6 +87,26 @@ class Pending:
             _sem.release()
 
 
+def run_settled(fn: Callable, *args, **kwargs):
+    """Run ONE device op/program under the cap, sync it to completion
+    via a 1-element probe fetch, release the slot, and return the
+    still-device-resident result.
+
+    For eager array ops on potentially-large operands (concatenates,
+    gathers) that would otherwise queue as uncapped executions next to
+    capped program dispatches (round-4 review finding on
+    ``runner.crop_video_chunked``). ``block_until_ready`` is a no-op
+    on the tunnel (CLAUDE.md), hence the probe fetch.
+    """
+    p = dispatch(fn, *args, **kwargs)
+    v = p.value
+    try:
+        jax.device_get(v[tuple(slice(0, 1) for _ in range(v.ndim))])
+    finally:
+        p.release()
+    return v
+
+
 def dispatch(fn: Callable, *args,
              _block: bool = True, **kwargs) -> Optional[Pending]:
     """Run ``fn(*args, **kwargs)`` (typically a jitted program — JAX

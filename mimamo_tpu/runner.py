@@ -439,14 +439,19 @@ class Mimamo:
         # review finding). The crops stay ON DEVICE — the slot is
         # released after a 1-element probe fetch, the only real sync
         # through the tunnel (block_until_ready is a no-op there,
-        # CLAUDE.md).
+        # CLAUDE.md). Outputs are collected only AFTER their program
+        # settles (a tail slice of a still-computing chunk would be a
+        # long-lived execution OUTSIDE the cap — second-pass review
+        # finding), and the final concatenate runs under the cap too.
         from . import dispatch as _dp
 
-        def settle(pend):
+        def settle_collect(pend, n):
             jax.device_get(pend.value[:1, :1, :1, :1])
             pend.release()
+            # full chunks are appended as-is: no eager slice op at all
+            pieces.append(pend.value[:n] if n < chunk else pend.value)
 
-        pending = None
+        pending = None                          # (Pending, real_count)
         for s in range(0, t, chunk):
             f = np.asarray(frames_rgb[s:s + chunk])
             p = np.asarray(params[s:s + chunk])
@@ -460,16 +465,16 @@ class Mimamo:
             pend = _dp.dispatch(crop_fn, None, fd, pd,
                                 _block=pending is None)
             if pend is None:                    # budget contended
-                settle(pending)
+                settle_collect(*pending)
                 pending = None
                 pend = _dp.dispatch(crop_fn, None, fd, pd)
-            if pending is not None:
-                settle(pending)
-            pending = pend
-            pieces.append(pend.value[:n])
-        if pending is not None:
-            settle(pending)
-        return jnp.concatenate(pieces, axis=0)
+            elif pending is not None:
+                settle_collect(*pending)
+            pending = (pend, n)
+        settle_collect(*pending)
+        if len(pieces) == 1:
+            return pieces[0]
+        return _dp.run_settled(jnp.concatenate, pieces, axis=0)
 
     @functools.partial(tuned_jit, static_argnums=0)
     def _crop_video(self, variables: Variables, frames: jnp.ndarray,

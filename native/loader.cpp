@@ -484,6 +484,13 @@ extern "C" {
 // truncated result can never drop the largest face — the Python
 // tracker keeps only max-area, and crowded frames easily exceed the
 // caller's buffer (cv2-wheel parity: that path returns everything).
+// 8: adaptive downscaled-luma tracking on the bulk path — once a face
+// is held, Haar re-detect + LK run on gray downscaled so the face
+// stays >= 48 px (ds in {1,2,4}; the first detect is always full
+// res). Boxes can differ from full-res tracking on >= 96 px faces
+// (IoU 0.90-0.92 vs the full-res python tracker, BASELINE.md
+// 2026-08-17); 64 px faces keep ds=1, so behavior is exact where
+// precision matters. Loader throughput +78-100%.
 int ml_abi_version() { return 8; }
 
 namespace {

@@ -235,7 +235,8 @@ class TestMatmulDFT:
 
     def test_dft_precision_knob(self):
         """On CPU both precisions are exact f32, so 'high' must agree
-        with 'highest' here; an unknown value fails fast at trace."""
+        with 'highest' here; an unknown value fails fast at
+        construction (frozen-config convention, CLAUDE.md)."""
         rng = np.random.default_rng(14)
         x = jnp.asarray(rng.standard_normal((2, 32, 32)).astype(
             np.float32) * 40)
@@ -247,7 +248,8 @@ class TestMatmulDFT:
             got[p] = np.asarray(pyramid.fft2_shifted(x, spec))
         np.testing.assert_allclose(got["high"], got["highest"],
                                    atol=0, rtol=0)
-        bad = PyramidSpec(input_size=(32, 32), fft_mode="matmul",
-                          dft_precision="bogus")
-        with pytest.raises(KeyError):
-            pyramid.fft2_shifted(x, bad)
+        with pytest.raises(ValueError, match="dft_precision"):
+            PyramidSpec(input_size=(32, 32), fft_mode="matmul",
+                        dft_precision="bogus")
+        with pytest.raises(ValueError, match="fft_mode"):
+            PyramidSpec(input_size=(32, 32), fft_mode="bogus")
