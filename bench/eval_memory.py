@@ -32,7 +32,7 @@ import shutil
 import sys
 import tempfile
 
-sys.path.insert(0, ".")
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import numpy as np
 

@@ -530,7 +530,9 @@ def main():
     if args.check_only:
         return
 
-    # -- timing (salted-chain, depth-2 fetch) -------------------------------
+    # -- timing (salted-chain, depth-2 fetch: bench/_timing.py) -------------
+    from _timing import time_chained
+
     def timeit(fn, reshape):
         k = args.chain
 
@@ -542,19 +544,10 @@ def main():
                                   else xi).astype(f32))
             return out
 
-        jitted = jax.jit(chained)
         x = jax.jit(lambda: jax.random.normal(
             jax.random.PRNGKey(1), (args.batch, 56, 56, 256),
             f32).astype(jnp.bfloat16))()
-        float(jitted(jnp.float32(999), x))
-        t0 = time.perf_counter()
-        pending = jitted(jnp.float32(0), x)
-        for j in range(1, args.iters):
-            nxt = jitted(jnp.float32(j), x)
-            float(pending)
-            pending = nxt
-        float(pending)
-        return (time.perf_counter() - t0) / (args.iters * k)
+        return time_chained(jax.jit(chained), (x,), args.iters, k)
 
     gflop = 730.0 * args.batch / 384
     rows = [("xla_layer2", xla_layer2, None)]

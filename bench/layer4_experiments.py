@@ -207,6 +207,8 @@ def main():
               flush=True)
         assert err < 2e-2, (name, err)
 
+    from _timing import time_chained
+
     def timeit(fn):
         k = args.chain
 
@@ -214,19 +216,10 @@ def main():
             return sum(jnp.sum(fn(x + (salt + 17 * i).astype(x.dtype))
                                .astype(f32)) for i in range(k))
 
-        jitted = jax.jit(chained)
         x = jax.jit(lambda: jax.random.normal(
             jax.random.PRNGKey(1), (args.batch, 14, 14, C_IN),
             f32).astype(jnp.bfloat16))()
-        float(jitted(jnp.float32(999), x))
-        t0 = time.perf_counter()
-        pending = jitted(jnp.float32(0), x)
-        for j in range(1, args.iters):
-            nxt = jitted(jnp.float32(j), x)
-            float(pending)
-            pending = nxt
-        float(pending)
-        return (time.perf_counter() - t0) / (args.iters * k)
+        return time_chained(jax.jit(chained), (x,), args.iters, k)
 
     gflop = 562.0 * args.batch / 384            # roofline table scaling
     for name, fn in variants:

@@ -88,6 +88,7 @@ def main():
         for split in (True, False):
             variants.append((f"{p}_split{int(split)}", specs[p], split))
 
+    from _timing import time_chained
     for name, spec, split in variants:
         pyr_mod._SPLIT_REAL_FORWARD = split
         kch = args.chain
@@ -95,15 +96,7 @@ def main():
             jnp.sum(phase_mod.micro_motion_features(
                 g + salt + 17.0 * i, _s, ph))
             for i in range(kch)))
-        float(jitted(np.float32(999), gray))
-        t0 = time.perf_counter()
-        pending = jitted(np.float32(0), gray)
-        for j in range(1, args.iters):
-            nxt = jitted(np.float32(j), gray)
-            float(pending)
-            pending = nxt
-        float(pending)
-        dt = (time.perf_counter() - t0) / (args.iters * kch)
+        dt = time_chained(jitted, (gray,), args.iters, kch)
         print(json.dumps({"phase": name,
                           "ms_per_step": round(dt * 1e3, 3)}), flush=True)
     pyr_mod._SPLIT_REAL_FORWARD = True

@@ -31,7 +31,7 @@ import json
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import numpy as np
 
@@ -145,6 +145,8 @@ def main() -> int:
         print(json.dumps({"check_max_abs_err": err}))
         assert err < 0.05, "raw-jax stages diverge from flax backbone"
 
+    from _timing import time_chained
+
     def timeit(name, fn, x, chain=None):
         k = chain or args.chain
 
@@ -153,16 +155,7 @@ def main() -> int:
                                    .astype(x.dtype)).astype(jnp.float32))
                        for i in range(k))
 
-        jitted = jax.jit(chained)
-        float(jitted(jnp.float32(999), x))
-        t0 = time.perf_counter()
-        pending = jitted(jnp.float32(0), x)
-        for j in range(1, args.iters):
-            nxt = jitted(jnp.float32(j), x)
-            float(pending)
-            pending = nxt
-        float(pending)
-        return (time.perf_counter() - t0) / (args.iters * k)
+        return time_chained(jax.jit(chained), (x,), args.iters, k)
 
     # -- measured peaks on THIS chip ------------------------------------
     # Inputs are generated ON DEVICE (host->device of GiB-scale arrays
@@ -197,16 +190,7 @@ def main() -> int:
                            .astype(jnp.float32)) * 1e-20 + acc)
         return acc
 
-    jitted = jax.jit(bw_chained)
-    float(jitted(jnp.float32(999), big))
-    t0 = time.perf_counter()
-    pending = jitted(jnp.float32(0), big)
-    for j in range(1, args.iters):
-        nxt = jitted(jnp.float32(j), big)
-        float(pending)
-        pending = nxt
-    float(pending)
-    dt = (time.perf_counter() - t0) / (args.iters * k_bw)
+    dt = time_chained(jax.jit(bw_chained), (big,), args.iters, k_bw)
     b_peak = big.size * 2.0 / dt             # read-only, 2 B/elt
     del big
     print(json.dumps({"measured_peak_tflops": round(f_peak / 1e12, 1),

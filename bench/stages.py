@@ -66,6 +66,8 @@ def main():
     imgs224 = jax.device_put(jnp.asarray(
         rng.uniform(-128, 128, (b * t, bb, bb, 3)).astype(np.float32)))
 
+    from _timing import time_chained
+
     def stage(name, fn, *inputs, frames_per_step):
         # jnp.sum keeps the fetched payload tiny; the salt defeats the
         # tunnel's identical-args execution cache. With --chain k, the
@@ -77,16 +79,7 @@ def main():
             return sum(jnp.sum(fn(*xs, salt + 17.0 * i))
                        for i in range(k))
 
-        jitted = jax.jit(chained)
-        float(jitted(np.float32(999), *inputs))        # compile+warm
-        t0 = time.perf_counter()
-        pending = jitted(np.float32(0), *inputs)
-        for j in range(1, args.iters):
-            nxt = jitted(np.float32(j), *inputs)
-            float(pending)
-            pending = nxt
-        float(pending)
-        dt = (time.perf_counter() - t0) / (args.iters * k)
+        dt = time_chained(jax.jit(chained), inputs, args.iters, k)
         print(json.dumps({
             "stage": name, "sec_per_step": round(dt, 5),
             "frames_per_sec": round(frames_per_step / dt, 1)}))

@@ -111,20 +111,13 @@ def main():
                 ("im2col_gemm_224", im2col, x224),
                 ("composite_112", composite112, x112)]
 
+    from _timing import time_chained
     for name, fn, inp in variants:
         kch = args.chain
         jitted = jax.jit(lambda salt, x, _f=fn: sum(
             jnp.sum(_f((x + salt + 17.0 * i).astype(x.dtype)))
             for i in range(kch)))
-        float(jitted(np.float32(999), inp))
-        t0 = time.perf_counter()
-        pending = jitted(np.float32(0), inp)
-        for j in range(1, args.iters):
-            nxt = jitted(np.float32(j), inp)
-            float(pending)
-            pending = nxt
-        float(pending)
-        dt = (time.perf_counter() - t0) / (args.iters * kch)
+        dt = time_chained(jitted, (inp,), args.iters, kch)
         print(json.dumps({"stem": name, "ms_per_step": round(dt * 1e3, 3)}))
 
     # numeric check (bf16 tolerance) of the s2d/gemm variants vs baseline

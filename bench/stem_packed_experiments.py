@@ -127,8 +127,10 @@ def main():
 
     rng = np.random.default_rng(0)
     k7 = rng.normal(0, 0.05, (7, 7, 3, 64)).astype(np.float32)
+    import os
     import sys
-    sys.path.insert(0, ".")
+    sys.path.insert(0, os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
     from mimamo_tpu.backbone import _UP
     k5f = np.einsum("ku,lv,klcO->uvcO", _UP, _UP, k7)
     bias_f = rng.normal(0, 0.1, (64,)).astype(np.float32)
@@ -154,20 +156,13 @@ def main():
                     .astype(np.float32)).astype(work)
     variants = build_variants(jnp, jax, k5_32.astype(work),
                               b_32.astype(work), work)
+    from _timing import time_chained
     for name, fn in variants:
         kch = args.chain
         jitted = jax.jit(lambda salt, v, _f=fn: sum(
             jnp.sum(_f((v + salt + 17.0 * i).astype(v.dtype)))
             for i in range(kch)))
-        float(jitted(np.float32(999), x))
-        t0 = time.perf_counter()
-        pending = jitted(np.float32(0), x)
-        for j in range(1, args.iters):
-            nxt = jitted(np.float32(j), x)
-            float(pending)
-            pending = nxt
-        float(pending)
-        dt = (time.perf_counter() - t0) / (args.iters * kch)
+        dt = time_chained(jitted, (x,), args.iters, kch)
         print(json.dumps({"stem": name, "ms_per_step": round(dt * 1e3, 3)}))
 
 

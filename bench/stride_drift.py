@@ -24,7 +24,7 @@ import argparse
 import json
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def main() -> int:

@@ -26,7 +26,7 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def render_face(size=64, rng=None):

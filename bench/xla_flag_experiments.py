@@ -15,7 +15,7 @@ import json
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import numpy as np
 
@@ -64,18 +64,11 @@ def main() -> int:
             fused, x + (salt + 17 * i).astype(x.dtype))[0])
             for i in range(k))
 
+    from _timing import time_chained
     for name, opts in EXPERIMENTS:
         try:
             jitted = jax.jit(chained, compiler_options=opts or None)
-            float(jitted(jnp.float32(999), x))
-            t0 = time.perf_counter()
-            pending = jitted(jnp.float32(0), x)
-            for j in range(1, args.iters):
-                nxt = jitted(jnp.float32(j), x)
-                float(pending)
-                pending = nxt
-            float(pending)
-            dt = (time.perf_counter() - t0) / (args.iters * k)
+            dt = time_chained(jitted, (x,), args.iters, k)
             print(json.dumps({"experiment": name, "ms": round(dt * 1e3, 2),
                               "frames_per_sec": round(n / dt, 1)}))
         except Exception as e:  # noqa: BLE001 — record rejected options
