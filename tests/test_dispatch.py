@@ -85,6 +85,28 @@ class TestSemaphore:
         b.release()
 
 
+class TestRunSettled:
+    def test_returns_result_and_frees_slot(self):
+        """run_settled executes one device op under the cap, syncs it,
+        and releases its slot (big eager concatenates must not stack
+        next to capped program dispatches — round-4 review finding)."""
+        import jax.numpy as jnp
+        a = jnp.arange(6.0).reshape(2, 3)
+        b = a + 10.0
+        before = dispatch.inflight()
+        out = dispatch.run_settled(jnp.concatenate, [a, b], axis=0)
+        assert dispatch.inflight() == before
+        np.testing.assert_array_equal(
+            np.asarray(out), np.concatenate([np.asarray(a),
+                                             np.asarray(b)]))
+
+    def test_failure_releases_slot(self):
+        before = dispatch.inflight()
+        with pytest.raises((AttributeError, TypeError)):
+            dispatch.run_settled(lambda: object())   # no .ndim
+        assert dispatch.inflight() == before
+
+
 class TestConcurrentCallers:
     def test_three_concurrent_device_callers(self):
         """Two predict_from_crops pipelines + one StreamingSession.feed
