@@ -175,6 +175,11 @@ class TemporalSpec:
     # math; halves the sequential matmul chain — the GRUs are latency-
     # bound on TPU). False runs the two scans back-to-back.
     fused_gru: bool = True
+    # lax.scan unroll factor for the GRU recurrences (identical math,
+    # op-for-op — bit-parity tested; the scan body is replicated k
+    # times per iteration, amortizing per-step loop overhead on the
+    # latency-bound recurrence). Hardware A/B in BASELINE.md round 4.
+    scan_unroll: int = 1
     dtype: str = "float32"
 
 

@@ -68,6 +68,8 @@ class GRU(nn.Module):
     hidden: int
     layers: int = 1
     in_dim: Optional[int] = None
+    # lax.scan unroll factor (identical math; see TemporalSpec.scan_unroll)
+    unroll: int = 1
 
     def setup(self):
         if self.in_dim is None:
@@ -108,7 +110,8 @@ class GRU(nn.Module):
             h_new = _gru_cell(carry, x_g, w_hh, b_hh)
             return h_new, h_new
 
-        h_final, ys = jax.lax.scan(step, h0, jnp.swapaxes(x_proj, 0, 1))
+        h_final, ys = jax.lax.scan(step, h0, jnp.swapaxes(x_proj, 0, 1),
+                                   unroll=self.unroll)
         return jnp.swapaxes(ys, 0, 1), h_final
 
     @nn.compact
@@ -250,9 +253,11 @@ class TwoStreamRNN(nn.Module):
 
         if use_micro and use_macro:
             gru_micro = GRU(spec.gru_hidden, spec.gru_layers,
-                            in_dim=micro.shape[-1], name="gru_micro")
+                            in_dim=micro.shape[-1],
+                            unroll=spec.scan_unroll, name="gru_micro")
             gru_macro = GRU(spec.gru_hidden, spec.gru_layers,
-                            in_dim=macro.shape[-1], name="gru_macro")
+                            in_dim=macro.shape[-1],
+                            unroll=spec.scan_unroll, name="gru_macro")
             if spec.fused_gru:
                 # One lax.scan advances BOTH streams per step: the two
                 # recurrences are independent, so fusing them halves the
@@ -261,7 +266,8 @@ class TwoStreamRNN(nn.Module):
                 # fill the MXU).
                 ys_micro, ys_macro, h_micro, h_macro = _dual_gru(
                     gru_micro, gru_macro, micro, macro, c_micro, c_macro,
-                    spec.gru_layers, spec.gru_hidden)
+                    spec.gru_layers, spec.gru_hidden,
+                    unroll=spec.scan_unroll)
             else:
                 ys_micro, h_micro = gru_micro(micro, c_micro)
                 ys_macro, h_macro = gru_macro(macro, c_macro)
@@ -269,11 +275,13 @@ class TwoStreamRNN(nn.Module):
         elif use_micro:
             ys, h_micro = GRU(spec.gru_hidden, spec.gru_layers,
                               in_dim=micro.shape[-1],
+                              unroll=spec.scan_unroll,
                               name="gru_micro")(micro, c_micro)
             ys_list = [ys]
         else:
             ys, h_macro = GRU(spec.gru_hidden, spec.gru_layers,
                               in_dim=macro.shape[-1],
+                              unroll=spec.scan_unroll,
                               name="gru_macro")(macro, c_macro)
             ys_list = [ys]
         if h_micro is None:
@@ -294,7 +302,7 @@ class TwoStreamRNN(nn.Module):
 
 
 def _dual_gru(ga: GRU, gb: GRU, xa: jnp.ndarray, xb: jnp.ndarray,
-              h0a, h0b, layers: int, hidden: int):
+              h0a, h0b, layers: int, hidden: int, unroll: int = 1):
     """Run two independent stacked GRUs through shared scans.
 
     Same math (and parameters) as calling each GRU separately — verified
@@ -323,7 +331,8 @@ def _dual_gru(ga: GRU, gb: GRU, xa: jnp.ndarray, xb: jnp.ndarray,
 
         (hfa, hfb), (ysa, ysb) = jax.lax.scan(
             step, (init_c(h0a, li, xa), init_c(h0b, li, xb)),
-            (jnp.swapaxes(pa, 0, 1), jnp.swapaxes(pb, 0, 1)))
+            (jnp.swapaxes(pa, 0, 1), jnp.swapaxes(pb, 0, 1)),
+            unroll=unroll)
         xa = jnp.swapaxes(ysa, 0, 1)
         xb = jnp.swapaxes(ysb, 0, 1)
         finals_a.append(hfa)

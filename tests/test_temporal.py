@@ -170,6 +170,29 @@ class TestTwoStream:
                                carries=(hm_f, hM_f))
             assert np.isfinite(np.asarray(out2)).all()
 
+    def test_scan_unroll_bit_parity(self):
+        """scan_unroll replicates the scan body k times per iteration —
+        identical math, so outputs/carries must be BIT-equal to
+        unroll=1 (incl. a T not divisible by the unroll factor). The
+        knob is perf-only (hardware A/B: BASELINE.md round 4 — no win
+        at flagship shapes; kept for latency-bound deployments)."""
+        import dataclasses
+        spec1 = TemporalSpec()
+        phase, feats = self._inputs(t=7, seed=3)
+        m1 = temporal.TwoStreamRNN(spec1)
+        variables = m1.init(jax.random.PRNGKey(0), phase, feats)
+        out1, (hm1, hM1) = m1.apply(variables, phase, feats)
+        for u in (2, 4):
+            mu = temporal.TwoStreamRNN(
+                dataclasses.replace(spec1, scan_unroll=u))
+            outu, (hmu, hMu) = mu.apply(variables, phase, feats)
+            np.testing.assert_array_equal(np.asarray(out1),
+                                          np.asarray(outu))
+            np.testing.assert_array_equal(np.asarray(hm1),
+                                          np.asarray(hmu))
+            np.testing.assert_array_equal(np.asarray(hM1),
+                                          np.asarray(hMu))
+
     def test_gradients_flow(self):
         phase, feats = self._inputs(t=4)
         model = temporal.TwoStreamRNN(SPEC)
