@@ -102,7 +102,6 @@ class CorpusRunner:
 
     def run(self, video_paths: Sequence[str]) -> dict:
         if self.process_count > 1:
-            from . import parallel
             video_paths = parallel.shard_paths(
                 video_paths, self.process_id, self.process_count)
         done = self._completed()
@@ -144,6 +143,26 @@ class CorpusRunner:
         from . import dispatch as _dp
         in_flight: List[tuple] = []
 
+        # Mesh path: replicate the weights ONCE and shard each numpy
+        # batch directly into the jitted program. Dispatching
+        # runner.predict_batch here would re-replicate the full model
+        # per 8-clip batch, round-trip the already-uploaded batch
+        # through host (a BLOCKING fetch inside the dispatch), and
+        # queue an uncapped eager out[:b] slice (round-4 second-pass
+        # review finding); drain() already trims pad rows host-side.
+        if self.mesh is not None:
+            repl_vars = parallel.replicate(self.variables, self.mesh)
+            ndev = self.mesh.devices.size
+
+            def predict_fn(x_np):
+                import jax.numpy as jnp
+                padded = parallel.pad_to_multiple({"x": x_np}, ndev)["x"]
+                xs = parallel.shard_batch(jnp.asarray(padded), self.mesh)
+                return self.model.predict_clips(repl_vars, xs)
+        else:
+            def predict_fn(x_np):
+                return self.model.predict_clips(self.variables, x_np)
+
         def drain(limit: int):
             while len(in_flight) > limit:
                 p, meta = in_flight.pop(0)
@@ -170,17 +189,10 @@ class CorpusRunner:
             if pad:
                 batch = np.pad(batch,
                                [(0, pad)] + [(0, 0)] * (batch.ndim - 1))
-            import jax.numpy as jnp
-            x = jnp.asarray(batch)
-            if self.mesh is not None:
-                fn, fa = self.model.predict_batch, (self.variables, x,
-                                                    self.mesh)
-            else:
-                fn, fa = self.model.predict_clips, (self.variables, x)
-            p = _dp.dispatch(fn, *fa, _block=not in_flight)
+            p = _dp.dispatch(predict_fn, batch, _block=not in_flight)
             if p is None:                      # budget contended
                 drain(limit=0)
-                p = _dp.dispatch(fn, *fa)
+                p = _dp.dispatch(predict_fn, batch)
             in_flight.append((p, list(pend_meta)))
             drain(limit=1)
             pend_clips.clear()
@@ -229,23 +241,33 @@ class CorpusRunner:
             self._mark_done({"video": path, "status": "ok",
                              "frames": total_frames, "csv": out_csv})
 
-        for clip, vi, start in self._clip_stream(todo):
-            if vi < 0:                      # end-of-video sentinel
-                real = ~vi
-                if start < 0:               # decode failed mid-video
-                    dead.add(real)          # discard in-flight preds
-                    finalize(real, start)
-                else:
-                    pending_total[real] = start
-                    try_finalize(real)      # 0-clip / already-drained
-                continue
-            expected[vi] = expected.get(vi, 0) + 1
-            pend_clips.append(clip)
-            pend_meta.append((vi, start))
-            if len(pend_clips) == self.batch_clips:
-                flush()
-        flush()
-        drain(limit=0)
+        try:
+            for clip, vi, start in self._clip_stream(todo):
+                if vi < 0:                  # end-of-video sentinel
+                    real = ~vi
+                    if start < 0:           # decode failed mid-video
+                        dead.add(real)      # discard in-flight preds
+                        finalize(real, start)
+                    else:
+                        pending_total[real] = start
+                        try_finalize(real)  # 0-clip / already-drained
+                    continue
+                expected[vi] = expected.get(vi, 0) + 1
+                pend_clips.append(clip)
+                pend_meta.append((vi, start))
+                if len(pend_clips) == self.batch_clips:
+                    flush()
+            flush()
+            drain(limit=0)
+        finally:
+            # An exception mid-run (e.g. a CSV write failing inside
+            # finalize) must not leak the other in-flight Pending's
+            # process-wide dispatch slot — that would permanently
+            # degrade (or, twice, deadlock) every later dispatch in
+            # this process (round-4 second-pass review finding).
+            # release() is idempotent, so the happy path is a no-op.
+            for p, _m in in_flight:
+                p.release()
         for vi in list(pending_total):      # defensive: should be empty
             try_finalize(vi)
         for vi in list(acc):

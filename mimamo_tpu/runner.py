@@ -502,9 +502,14 @@ class Mimamo:
         mesh = mesh or parallel.make_mesh()
         n = mesh.devices.size
         b = crops_rgb.shape[0]
-        padded = parallel.pad_to_multiple({"x": np.asarray(crops_rgb)},
-                                          n)["x"]
+        # Avoid a blocking device->host round trip when the caller
+        # already holds a host batch (the corpus runner now pre-shards
+        # and dispatches its own program — this API serves direct
+        # callers like cli eval and the dryrun).
+        x_np = (crops_rgb if isinstance(crops_rgb, np.ndarray)
+                else np.asarray(crops_rgb))
+        padded = parallel.pad_to_multiple({"x": x_np}, n)["x"]
         x = parallel.shard_batch(jnp.asarray(padded), mesh)
         v = parallel.replicate(variables, mesh)
         out = self._predict_clips(v, x)
-        return out[:b]
+        return out if out.shape[0] == b else out[:b]

@@ -84,7 +84,18 @@ class StreamingSession:
             raise RuntimeError(
                 f"all {self.capacity} stream slots in use")
         slot = self._free.pop(0)
-        self._gru = _zero_slot(self._gru, slot, self._slot_axis)
+        # One capped, probe-synced program (see _zero_slot docstring).
+        from . import dispatch as _dp
+        p = _dp.dispatch(_zero_slot, self._gru, jnp.int32(slot),
+                         self._slot_axis)
+        gru = p.value
+        try:
+            leaf = jax.tree_util.tree_leaves(gru)[0]
+            jax.device_get(
+                leaf[tuple(slice(0, 1) for _ in range(leaf.ndim))])
+        finally:
+            p.release()
+        self._gru = gru
         self._fresh[slot] = True
         return slot
 
@@ -172,7 +183,14 @@ class StreamingSession:
         return out, new_gru, new_context
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
 def _zero_slot(carries, slot, axis):
+    """Zero one slot's carries as ONE jitted program (slot traced, so
+    every add_stream reuses a single compile). Eager per-leaf
+    .at[].set executions here would bypass the process-wide in-flight
+    cap next to a concurrent caller's capped dispatches (round-4
+    second-pass review finding); the call site runs this under
+    dispatch and probe-syncs it."""
     def z(c):
         idx = (slice(None),) * axis + (slot,)
         return c.at[idx].set(0.0)
@@ -181,7 +199,6 @@ def _zero_slot(carries, slot, axis):
 
 def _select_slots(new, old, mask, axis):
     def sel(n, o):
-        m = mask
         if axis == 1:                       # [L, B, H] layout
             m = mask[None, :, None]
         else:                               # [B, H]

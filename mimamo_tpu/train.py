@@ -135,7 +135,12 @@ def make_train_step(model: Mimamo, tx: optax.GradientTransformation
 
     def loss_fn(params, batch_stats, batch, step):
         variables = _join_variables(params, batch_stats)
-        clips = batch["clips"]
+        # Cast BEFORE any math, mirroring runner.forward: uint8 is the
+        # preferred feed/storage dtype for crops, and to_grayscale
+        # casts its luma weights to the INPUT dtype — uint8 clips
+        # would silently zero the entire micro-motion stream
+        # (round-4 review finding).
+        clips = batch["clips"].astype(jnp.float32)
         if augmenting:
             if "features" in batch:
                 raise ValueError(
@@ -143,7 +148,7 @@ def make_train_step(model: Mimamo, tx: optax.GradientTransformation
                     "— cached features cannot reflect augmented crops "
                     "(drop batch['features'] or disable augment/"
                     "brightness_jitter)")
-            clips = _augment(clips.astype(jnp.float32), step)
+            clips = _augment(clips, step)
         streams = cfg.temporal.streams
         phase_stacks = None
         if streams in ("both", "micro"):

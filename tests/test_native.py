@@ -113,6 +113,36 @@ class TestCorpusRunner:
         assert stats2["videos"] == 0
         assert stats2["resumed_skipped"] == 3
 
+    def test_mesh_corpus_matches_single_device(self, corpus_dir,
+                                               model_vars, tmp_path):
+        """CorpusRunner(mesh=...) (pre-replicated weights, host batch
+        sharded straight into the jitted program — round-4 rework)
+        must write the same CSVs as the single-device path."""
+        from mimamo_tpu import parallel
+        root, lengths = corpus_dir
+        model, variables = model_vars
+        paths = [str(root / f"v{i}.mp4") for i in range(3)]
+        out_s = str(tmp_path / "out_single")
+        out_m = str(tmp_path / "out_mesh")
+        CorpusRunner(model, variables, out_s, batch_clips=2,
+                     use_native=False).run(paths)
+        mesh = parallel.make_mesh()
+        stats = CorpusRunner(model, variables, out_m, batch_clips=2,
+                             use_native=False, mesh=mesh).run(paths)
+        assert stats["videos"] == 3
+
+        def rows(path):
+            with open(path) as f:
+                return np.loadtxt(f, delimiter=",", skiprows=1)
+
+        for i in range(3):
+            want = rows(os.path.join(out_s, f"v{i}.csv"))
+            got = rows(os.path.join(out_m, f"v{i}.csv"))
+            # not bit-equal: the [batch_clips]-shaped and the padded
+            # mesh-sharded program are different XLA codegen on CPU
+            # (last-digit drift); the contract is numeric equivalence.
+            np.testing.assert_allclose(got, want, atol=5e-5)
+
     def test_aligned_corpus_matches_api_predict(self, corpus_dir,
                                                 model_vars, tmp_path):
         """predict-corpus --align == api.predict(align=True) per frame:

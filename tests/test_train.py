@@ -46,6 +46,29 @@ class TestTrainStep:
         assert float(metrics["loss"]) < first
         assert int(state.step) == 8
 
+    def test_uint8_batch_matches_float32(self, setup):
+        """uint8 clips (the preferred storage/feed dtype) must train
+        bit-identically to the same values as float32. Guards the
+        unconditional cast in loss_fn: to_grayscale casts its luma
+        weights to the INPUT dtype, so an uncast uint8 batch would
+        silently zero the whole micro-motion stream (round-4 review
+        finding)."""
+        model, state, tx, step = setup
+        rng = np.random.default_rng(7)
+        u8 = rng.integers(0, 256, (2, 6, 32, 32, 3), dtype=np.uint8)
+        labels = jnp.asarray(
+            np.tanh(rng.standard_normal((2, 6, 2))).astype(np.float32))
+        mask = jnp.ones((2, 6), jnp.float32)
+        b_u8 = {"clips": jnp.asarray(u8), "labels": labels, "mask": mask}
+        b_f32 = {"clips": jnp.asarray(u8.astype(np.float32)),
+                 "labels": labels, "mask": mask}
+        s1, m1 = step(jax.tree_util.tree_map(jnp.copy, state), b_u8)
+        s2, m2 = step(jax.tree_util.tree_map(jnp.copy, state), b_f32)
+        assert float(m1["loss"]) == float(m2["loss"])
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_frozen_backbone_unchanged(self, setup):
         model, state, tx, step = setup
         before = jax.tree_util.tree_leaves(state.params["backbone"])
