@@ -100,9 +100,8 @@ def _windowed_crop_pipeline(model, video_path: str,
                 if len(params_all) < start + n:
                     # only reachable for hold-last-padded CSV sidecars
                     # (npy would have raised in lm_src.read above)
-                    idx = np.minimum(np.arange(start, start + n),
-                                     len(params_all) - 1)
-                    params = params_all[idx]
+                    params = params_all[decode.hold_pad_indices(
+                        start, n, len(params_all))]
                 else:
                     params = params_all[start:start + n]
             else:                            # eye pairs: per-frame fit
@@ -113,10 +112,10 @@ def _windowed_crop_pipeline(model, video_path: str,
         crops_parts.append(model.crop_video_chunked(frames, params,
                                                     align=align))
         t_total += n
-    if boxes_file is not None and len(boxes_file) != t_total:
-        raise ValueError(
-            f"boxes file: expected shape {(t_total, 4)}, got "
-            f"{boxes_file.shape}")
+    # A LONGER boxes file is fine (max_frames-truncated runs — the
+    # landmarks path documents the same >= T allowance in
+    # decode.load_landmarks); a SHORTER one already raised inside the
+    # window loop before any further decode work.
     # The cross-window concatenate joins potentially-large device
     # buffers: run it under the process-wide in-flight cap so it can't
     # stack on top of a concurrent caller's capped dispatches
@@ -174,7 +173,12 @@ class VideoProcessor:
             np.save(os.path.join(out_dir, name + ".landmarks.npy"),
                     landmarks)
         out = os.path.join(out_dir, name + ".npy")
-        np.save(out, np.clip(np.asarray(crops), 0, 255).astype(np.uint8))
+        # round, don't truncate: cv2's aligned-crop writer (and the
+        # native loader's warp) round to nearest — truncation would
+        # bias every interpolated pixel ~0.5 LSB dark vs the reference
+        # convention (round-4 review finding)
+        np.save(out, np.clip(np.rint(np.asarray(crops)), 0,
+                             255).astype(np.uint8))
         np.save(os.path.join(out_dir, name + ".boxes.npy"), boxes)
         return out
 
@@ -229,7 +233,12 @@ class FeatureExtractor:
             i0, i1, frac = stride_anchor_plan(t, k)
             feats = (feats[i0] * (1.0 - frac[:, None])
                      + feats[i1] * frac[:, None])
-        out_path = out_path or crops_npy.replace(".npy", ".feat.npy")
+        if out_path is None:
+            # suffix the BASENAME only: str.replace would also rewrite
+            # any '.npy' inside directory names and silently no-op on
+            # other extensions
+            root, ext = os.path.splitext(crops_npy)
+            out_path = root + ".feat" + (ext or ".npy")
         np.save(out_path, feats)
         return out_path
 
@@ -310,19 +319,27 @@ class MimamoAPI:
 
     def _classify_crops(self, crops, batch: int = 64) -> np.ndarray:
         """[T, S, S, 3] crops -> [T, C] FER+ probabilities; fixed-size
-        batches so ONE program compiles regardless of video length."""
+        batches so ONE program compiles regardless of video length.
+
+        Slicing/padding happens on HOST numpy: per-offset eager device
+        slices would each be a distinct remote-compiled program on the
+        TPU tunnel (minutes per unique offset, CLAUDE.md) queued
+        outside the in-flight cap (round-4 review finding). One d2h
+        fetch of the crop buffer replaces them all.
+        """
         import jax.numpy as jnp
-        t = int(crops.shape[0])
+        crops_np = np.asarray(crops)
+        t = len(crops_np)
         probs = []
         for i in range(0, t, batch):
-            piece = crops[i:i + batch]
+            piece = crops_np[i:i + batch]
             pad = batch - piece.shape[0]
             if pad:
-                piece = jnp.concatenate(
-                    [piece, jnp.repeat(piece[-1:], pad, axis=0)])
+                piece = np.concatenate(
+                    [piece, np.repeat(piece[-1:], pad, axis=0)])
             from . import dispatch as _dp
             p = _dp.dispatch(self.model.classify_frames, self.variables,
-                             piece[None])
+                             jnp.asarray(piece)[None])
             probs.append(p.fetch()[0, :batch - pad])
         return np.concatenate(probs)
 

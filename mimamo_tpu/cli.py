@@ -197,6 +197,17 @@ def cmd_train(args) -> int:
     # Identical step counts on every process (a process with one more
     # index entry must not run an extra collective step -> hang).
     steps_per_epoch = (len(ds) // nproc) // local_batch
+    if steps_per_epoch == 0:
+        # drop_remainder batching would silently yield ZERO steps per
+        # epoch and save a random-init checkpoint (round-4 review
+        # finding) — fail fast instead.
+        raise SystemExit(
+            f"dataset has {len(ds)} clips ({len(ds) // nproc} per "
+            f"process) — fewer than one batch of {local_batch}; "
+            f"shrink --batch or add data")
+    if args.eval_every < 1:
+        raise SystemExit(f"--eval-every must be >= 1, got "
+                         f"{args.eval_every}")
     planned_steps = max(args.epochs * steps_per_epoch, 1)
     tx = train.make_optimizer(config, total_steps=planned_steps)
     state, tx = train.create_train_state(model, jax.random.PRNGKey(
@@ -678,6 +689,20 @@ def cmd_serve(args) -> int:
 
 def cmd_bench(args) -> int:
     import subprocess
+    # bench.py only parameterizes a subset of the common knobs; a knob
+    # it cannot forward must not be silently ignored (the JSON line
+    # would claim a config that wasn't benchmarked — round-4 review
+    # finding).
+    unsupported = {"stride": 24, "crop_size": 112, "pyramid_height": 3,
+                   "orientations": 4, "phase_size": 48, "snippet_len": 1,
+                   "gru_layers": 1}
+    offending = [k for k, dflt in unsupported.items()
+                 if getattr(args, k) != dflt]
+    if offending:
+        raise SystemExit(
+            "bench.py does not parameterize: "
+            + ", ".join("--" + k.replace("_", "-") for k in offending)
+            + " (run bench.py variants or bench/stages.py directly)")
     cmd = [sys.executable, "bench.py", "--dtype", args.dtype,
            "--clip-len", str(args.clip_len),
            "--backbone-size", str(args.backbone_size),

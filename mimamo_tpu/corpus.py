@@ -408,9 +408,8 @@ class CorpusRunner:
                     lm = np.stack([eyes.update(f, b)
                                    for f, b in zip(frames, boxes)])
                 if params_all is not None:
-                    idx = np.minimum(np.arange(start, start + n),
-                                     len(params_all) - 1)
-                    params = params_all[idx]
+                    params = params_all[decode.hold_pad_indices(
+                        start, n, len(params_all))]
                 else:
                     params = preprocess.similarity_from_landmarks(
                         lm, cfg.crop_size)

@@ -115,8 +115,41 @@ class LandmarkSource:
                 f"{self.path}: {len(self.lm)} landmark rows but the "
                 f"video has at least {end} frames — expected "
                 f"[>= T, K, 2] per frame")
-        idx = np.minimum(np.arange(start, end), len(self.lm) - 1)
-        return self.lm[idx]
+        return self.lm[hold_pad_indices(start, count, len(self.lm))]
+
+
+def hold_pad_indices(start: int, count: int, length: int) -> np.ndarray:
+    """Row indices [start, start+count) clamped to ``length - 1``.
+
+    THE hold-last padding convention for sidecars shorter than the
+    decoded video (a video that outruns its OpenFace CSV repeats the
+    last row). One definition shared by :meth:`LandmarkSource.read`,
+    ``api._windowed_crop_pipeline`` and ``corpus._python_one_video`` —
+    their streaming-vs-array parity is tested, so the convention must
+    not drift between hand-maintained copies (round-4 review finding).
+    """
+    return np.minimum(np.arange(start, start + count), length - 1)
+
+
+def resolve_landmarks_path(video_path: str,
+                           landmarks_path: Optional[str] = None
+                           ) -> Optional[str]:
+    """Resolve the landmark sidecar for a video: explicit path (must
+    exist) -> ``<video>.landmarks.npy`` -> ``<video>.openface.csv`` ->
+    None. The single definition of the probing precedence used by both
+    :func:`load_landmarks` (array-at-once) and :func:`landmark_source`
+    (streaming) — divergent copies would silently resolve different
+    files for the same video (round-4 review finding)."""
+    if landmarks_path is None:
+        for candidate in (video_path + ".landmarks.npy",
+                          video_path + ".openface.csv"):
+            if os.path.exists(candidate):
+                return candidate
+        return None
+    if not os.path.exists(landmarks_path):
+        raise FileNotFoundError(
+            f"landmarks file not found: {landmarks_path}")
+    return landmarks_path
 
 
 def has_landmark_sidecar(video_path: str) -> bool:
@@ -138,17 +171,9 @@ def landmark_source(video_path: str,
     """Sidecar probing for :class:`LandmarkSource` (same priority as
     :func:`load_landmarks`: explicit path -> ``.landmarks.npy`` ->
     ``.openface.csv`` -> None)."""
+    landmarks_path = resolve_landmarks_path(video_path, landmarks_path)
     if landmarks_path is None:
-        for candidate in (video_path + ".landmarks.npy",
-                          video_path + ".openface.csv"):
-            if os.path.exists(candidate):
-                landmarks_path = candidate
-                break
-        else:
-            return None
-    elif not os.path.exists(landmarks_path):
-        raise FileNotFoundError(
-            f"landmarks file not found: {landmarks_path}")
+        return None
     return LandmarkSource(landmarks_path)
 
 
@@ -481,17 +506,9 @@ def load_landmarks(video_path: str, t: int,
     paths are probed (npy first) and None returned when absent (callers
     then fall back to the built-in Haar eye tracker).
     """
+    landmarks_path = resolve_landmarks_path(video_path, landmarks_path)
     if landmarks_path is None:
-        for candidate in (video_path + ".landmarks.npy",
-                          video_path + ".openface.csv"):
-            if os.path.exists(candidate):
-                landmarks_path = candidate
-                break
-        else:
-            return None
-    elif not os.path.exists(landmarks_path):
-        raise FileNotFoundError(
-            f"landmarks file not found: {landmarks_path}")
+        return None
     if landmarks_path.endswith(".csv"):
         from .openface import read_landmarks_csv
         lm, _success = read_landmarks_csv(landmarks_path, num_frames=t)
