@@ -55,18 +55,31 @@ class CropSource:
     def __init__(self, path: str, crop_size: Optional[int] = None):
         self.path = path
         self.crop_size = crop_size
+        from ..io import decode
+        self._decode = decode
         if os.path.isdir(path):
-            from ..io import decode
             self.kind = "dir"
-            self._names = sorted(
-                f for f in os.listdir(path)
-                if f.lower().endswith(decode.IMAGE_EXTS))
-            if not self._names:
-                raise ValueError(f"no crop images in {path}")
+            # decode.list_frame_images: numeric-aware frame order +
+            # the shared reader below (the frame-dir convention lives
+            # in ONE place — round-4 review finding)
+            self._names = decode.list_frame_images(path)
             self._len = len(self._names)
         elif path.endswith(".npy") and os.path.exists(path):
             self.kind = "npy"
-            self._len = int(np.load(path, mmap_mode="r").shape[0])
+            # cache the read-only mmap: re-opening per clip read costs
+            # a file open + header parse on every access of the 1-core
+            # host input path (round-4 review finding)
+            self._arr = np.load(path, mmap_mode="r")
+            self._len = int(self._arr.shape[0])
+            if (crop_size is not None and self._arr.ndim >= 3
+                    and tuple(self._arr.shape[1:3]) != (crop_size,) * 2):
+                # fail fast like the dir branch / feature sidecars: a
+                # wrong-sized packed array would otherwise surface
+                # deep inside train/eval as an opaque shape error
+                raise ValueError(
+                    f"{path}: crops are {tuple(self._arr.shape[1:3])} "
+                    f"but the config expects "
+                    f"({crop_size}, {crop_size})")
         else:
             raise FileNotFoundError(
                 f"crops not found (tried npy file / image dir): {path}")
@@ -76,25 +89,9 @@ class CropSource:
 
     def read(self, start: int, count: int) -> np.ndarray:
         if self.kind == "npy":
-            arr = np.load(self.path, mmap_mode="r")
-            return np.asarray(arr[start:start + count])
-        import cv2
-        frames = []
-        for name in self._names[start:start + count]:
-            img = cv2.imread(os.path.join(self.path, name))
-            if img is None:
-                raise ValueError(f"unreadable image {name} in {self.path}")
-            if (self.crop_size is not None
-                    and img.shape[:2] != (self.crop_size,) * 2):
-                img = cv2.resize(img, (self.crop_size,) * 2,
-                                 interpolation=cv2.INTER_LINEAR)
-            frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
-        shapes = {f.shape for f in frames}
-        if len(shapes) > 1:
-            raise ValueError(
-                f"{self.path}: inconsistent frame shapes {sorted(shapes)}; "
-                f"pass crop_size= to normalize")
-        return np.stack(frames)
+            return np.asarray(self._arr[start:start + count])
+        return self._decode.read_frame_images(
+            self.path, self._names[start:start + count], self.crop_size)
 
     def read_all(self) -> np.ndarray:
         return self.read(0, self._len)
@@ -183,6 +180,14 @@ class _ClipDataset:
                 raise ValueError(f"process_id {process_id} out of range "
                                  f"for {process_count}")
             order = order[process_id::process_count]
+            # Uniform per-host length (drop <= process_count-1 clips):
+            # hosts with one extra clip would otherwise yield an extra
+            # (or differently-sized final) batch, and the documented
+            # make_array_from_process_local_data assembly would hang
+            # in a collective the other hosts never join (round-4
+            # review finding; the CLI's steps_per_epoch floor already
+            # assumed this contract).
+            order = order[:len(self._index) // process_count]
         if stratify:
             # AFTER the per-process split: a strided slice of a
             # round-robin sequence is periodic and would hand each host
@@ -235,7 +240,13 @@ class _ClipDataset:
             yield batch
 
     def _load_features(self, ci: ClipIndex) -> np.ndarray:
-        arr = np.load(self._features[ci.source], mmap_mode="r")
+        arrs = getattr(self, "_feat_arrs", None)
+        if arrs is None:
+            arrs = self._feat_arrs = {}
+        arr = arrs.get(ci.source)
+        if arr is None:   # cache the read-only mmap (one open/source)
+            arr = arrs[ci.source] = np.load(
+                self._features[ci.source], mmap_mode="r")
         return np.asarray(arr[ci.start:ci.start + self.clip.clip_len])
 
 

@@ -98,12 +98,19 @@ def stream_predict_many(model: Mimamo, variables,
     active: Dict[int, dict] = {}   # slot -> {key, src, len, off, parts}
     exhausted = False
     while True:
-        while not exhausted and session._free:
+        while not exhausted and session.free_slots:
             try:
                 key, crops = next(it)
             except StopIteration:
                 exhausted = True
                 break
+            if len(crops) == 0:
+                # zero-frame source (e.g. a detector found no faces):
+                # an empty series, not a crashed eval — the tail-pad
+                # below cannot pad an empty piece (round-4 review
+                # finding)
+                yield key, np.zeros((0, 2), np.float32)
+                continue
             slot = session.add_stream()
             active[slot] = {"key": key, "src": crops, "len": len(crops),
                             "off": 0, "parts": []}

@@ -193,20 +193,36 @@ def write_video(path: str, frames_rgb: np.ndarray, fps: float = 25.0
 IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
 
 
-def load_image_dir(path: str, size: Optional[int] = None) -> np.ndarray:
-    """Directory of per-frame images -> [T, H, W, 3] RGB uint8.
+def frame_sort_key(name: str):
+    """Numeric-aware filename sort key: digit runs compare as integers,
+    so ``frame_2.jpg`` < ``frame_10.jpg`` even without zero padding.
+    Plain lexicographic sorting silently misorders such directories —
+    temporally wrong phase-diff pairs and misaligned per-frame labels
+    with NO error raised (round-4 review finding). Zero-padded layouts
+    (the OpenFace convention) sort identically under both keys."""
+    import re
+    return tuple(int(p) if p.isdigit() else p
+                 for p in re.split(r"(\d+)", name.lower()))
 
-    The reference's OpenFace stage writes one aligned-crop image per
-    frame into a directory (SURVEY.md §2 "Video preprocessor"); this
-    reads that layout (sorted filenames = frame order), optionally
-    resizing to ``size``.
-    """
-    if cv2 is None:
-        raise RuntimeError("OpenCV is required to read image dirs")
-    names = sorted(f for f in os.listdir(path)
-                   if f.lower().endswith(IMAGE_EXTS))
+
+def list_frame_images(path: str) -> list:
+    """Frame-image filenames of a crop directory, in frame order."""
+    names = sorted((f for f in os.listdir(path)
+                    if f.lower().endswith(IMAGE_EXTS)),
+                   key=frame_sort_key)
     if not names:
         raise ValueError(f"no images found in {path}")
+    return names
+
+
+def read_frame_images(path: str, names, size: Optional[int] = None
+                      ) -> np.ndarray:
+    """Read the named frames of an image dir -> [N, H, W, 3] RGB uint8,
+    optionally resized to ``size``. The single reader shared by
+    :func:`load_image_dir` and ``data.datasets.CropSource`` (the frame
+    -dir decode convention must not fork — round-4 review finding)."""
+    if cv2 is None:
+        raise RuntimeError("OpenCV is required to read image dirs")
     frames = []
     for name in names:
         img = cv2.imread(os.path.join(path, name))
@@ -222,6 +238,17 @@ def load_image_dir(path: str, size: Optional[int] = None) -> np.ndarray:
             f"{path}: inconsistent frame shapes {sorted(shapes)}; pass "
             f"size= to normalize")
     return np.stack(frames)
+
+
+def load_image_dir(path: str, size: Optional[int] = None) -> np.ndarray:
+    """Directory of per-frame images -> [T, H, W, 3] RGB uint8.
+
+    The reference's OpenFace stage writes one aligned-crop image per
+    frame into a directory (SURVEY.md §2 "Video preprocessor"); this
+    reads that layout (sorted filenames = frame order), optionally
+    resizing to ``size``.
+    """
+    return read_frame_images(path, list_frame_images(path), size)
 
 
 # Haar cascade XMLs: OpenCV python wheels ship them under cv2.data, but

@@ -109,6 +109,12 @@ class StreamingSession:
     def active_slots(self):
         return [i for i in range(self.capacity) if i not in self._free]
 
+    @property
+    def free_slots(self) -> int:
+        """Unclaimed slot count (public admission query — callers must
+        not reach into ``_free``)."""
+        return len(self._free)
+
     # -- inference -----------------------------------------------------------
 
     def feed(self, frames_by_slot: Dict[int, np.ndarray]

@@ -90,6 +90,25 @@ class TestOMG:
         assert len(a) + len(b) == len(total) == 16
         assert sorted(a + b) == sorted(total)
 
+    def test_process_sharded_batches_uniform_counts(self, omg):
+        """Hosts must yield IDENTICAL batch-count and batch-size
+        sequences even when the clip count doesn't divide the host
+        count — a host with one extra clip would enter a collective
+        the others never join (round-4 review finding). At most
+        process_count-1 clips are dropped per epoch."""
+        ds, _ = omg   # 16 clips, 3 hosts -> 5 each, 1 dropped
+        shapes, seen = [], []
+        for pid in range(3):
+            sizes = []
+            for b in ds.batches(2, shuffle=True, seed=5,
+                                process_id=pid, process_count=3):
+                sizes.append(len(b["clips"]))
+                seen.extend(map(tuple, np.asarray(
+                    b["labels"][:, 0]).round(4)))
+            shapes.append(sizes)
+        assert shapes[0] == shapes[1] == shapes[2] == [2, 2, 1]
+        assert len(seen) == 15   # one clip dropped for uniformity
+
     def test_stratified_batches_span_sources(self, omg):
         """Utterance-level protocol: stratify=True must never emit a
         batch whose clips all come from one source (zero label variance
@@ -185,7 +204,12 @@ class TestAffWild2:
         with open(ann, "w") as f:
             f.write("\n".join(lines[:-2]))
         with pytest.raises(ValueError, match="annotation rows"):
-            datasets.AffWild2Dataset(root)
+            # crop_size must match the synthetic 32-px crops: the
+            # size check fails fast at construction (by design) and
+            # would otherwise mask the annotation-length error under
+            # the default 112 config
+            datasets.AffWild2Dataset(
+                root, clip=tiny_config().clip)
 
     def test_frame_eval(self, aw):
         ds, cfg = aw
@@ -352,6 +376,25 @@ class TestImageDirLayout:
         # PNG round-trip is lossless: both sources yield identical clips
         half = len(clips) // 2
         np.testing.assert_array_equal(clips[:half], clips[half:])
+
+    def test_unpadded_frame_numbers_sort_numerically(self, tmp_path):
+        """frame_2.png must precede frame_10.png: lexicographic order
+        would silently interleave temporally wrong frames (round-4
+        review finding; decode.frame_sort_key is the one definition)."""
+        import cv2
+        path = str(tmp_path / "dir")
+        os.makedirs(path)
+        frames = np.stack([np.full((16, 16, 3), i, np.uint8)
+                           for i in range(12)])
+        for i, f in enumerate(frames):     # frame_0.png .. frame_11.png
+            cv2.imwrite(os.path.join(path, f"frame_{i}.png"),
+                        cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        src = datasets.CropSource(path, crop_size=16)
+        got = src.read(0, 12)
+        np.testing.assert_array_equal(got, frames)
+        from mimamo_tpu.io import decode
+        np.testing.assert_array_equal(decode.load_image_dir(path),
+                                      frames)
 
     def test_affwild2_cropped_aligned_layout(self, tmp_path):
         rng = np.random.default_rng(8)
