@@ -54,8 +54,13 @@ def tuned_jit(fn=None, tpu_options=None, **jit_kwargs):
     def wrapper(*args, **kwargs):
         if "jitted" not in cache:
             from .pyramid import on_default_tpu
-            opts = ((tpu_options or TPU_COMPILER_OPTIONS or None)
-                    if on_default_tpu() else None)
+            # tpu_options=None inherits the module-global options;
+            # an explicit {} opts OUT (an `or` chain would treat the
+            # empty dict as falsy and silently re-apply the globals —
+            # round-4 review finding).
+            opts = (tpu_options if tpu_options is not None
+                    else TPU_COMPILER_OPTIONS)
+            opts = (opts or None) if on_default_tpu() else None
             cache["jitted"] = jax.jit(fn, compiler_options=opts,
                                       **jit_kwargs)
         return cache["jitted"](*args, **kwargs)

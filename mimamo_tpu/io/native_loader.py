@@ -165,7 +165,18 @@ class NativeCorpusLoader:
         self._lock = threading.Lock()
         self._closed = False
 
-    def __iter__(self) -> Iterator[Tuple[np.ndarray, int, int]]:
+    def __iter__(self) -> Iterator[Tuple[Optional[np.ndarray], int, int]]:
+        """Yields ``(clip, video_idx, start_frame)``.
+
+        Sentinel contract (mirrors ``loader.cpp``): ``video_idx < 0``
+        marks end-of-video for video ``~video_idx`` — ``start_frame``
+        is then the total frame count, or ``-1`` for a decode failure
+        — and ``clip`` is None (the C side ships no payload for
+        sentinels; yielding the scratch buffer would hand consumers
+        stale/uninitialized frames as if they were real — round-4
+        review finding). Real records (``video_idx >= 0``) always
+        carry a fresh clip copy.
+        """
         buf = np.empty((self.clip_len, self.crop, self.crop, 3), np.uint8)
         vi = ctypes.c_int32()
         sf = ctypes.c_int32()
@@ -179,7 +190,8 @@ class NativeCorpusLoader:
                     ctypes.byref(vi), ctypes.byref(sf))
             if not ok:
                 return
-            yield buf.copy(), int(vi.value), int(sf.value)
+            v = int(vi.value)
+            yield (buf.copy() if v >= 0 else None), v, int(sf.value)
 
     def frames_decoded(self) -> int:
         with self._lock:

@@ -55,6 +55,11 @@ def ccc_loss(pred: jnp.ndarray, target: jnp.ndarray,
             m = mask.astype(jnp.float32)
             while m.ndim < pred.ndim:
                 m = m[..., None]
+            # broadcast BEFORE the denominator sum: dividing the
+            # N*D-element numerator by the N-row mask count scaled the
+            # masked MSE term by D vs the unmasked jnp.mean (round-4
+            # review finding, verified numerically)
+            m = jnp.broadcast_to(m, pred.shape)
             mse = jnp.sum(m * (pred - target) ** 2) / (jnp.sum(m) + 1e-8)
         else:
             mse = jnp.mean((pred - target) ** 2)

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -137,11 +139,21 @@ def sharded_ccc(preds: Any, golds: Any, mesh: Mesh,
     count, so ragged global batches score identically to the unpadded
     host computation.
     """
-    from jax import shard_map
-
     b = preds.shape[0]
     if mask is None:
         mask = jnp.ones((b,), jnp.float32)
+    fn = _sharded_ccc_program(mesh, axis, eps)
+    return fn(preds, golds, jnp.asarray(mask))
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_ccc_program(mesh: Mesh, axis: str, eps: float):
+    """Jitted shard_map CCC, cached per (mesh, axis, eps): building a
+    fresh jit wrapper per call would re-trace and remote-compile on
+    EVERY metric call — minutes each through the TPU tunnel (round-4
+    review finding). Mesh is hashable, so it keys the cache directly.
+    """
+    from jax import shard_map
 
     def local(p, y, w):
         w1 = w.astype(p.dtype)[:, None]
@@ -160,10 +172,9 @@ def sharded_ccc(preds: Any, golds: Any, mesh: Mesh,
         cov = spy / n - mp * my
         return 2.0 * cov / (vp + vy + (mp - my) ** 2 + eps)
 
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(axis), P(axis), P(axis)),
-                   out_specs=P())
-    return jax.jit(fn)(preds, golds, jnp.asarray(mask))
+    return jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=(P(axis), P(axis), P(axis)),
+                             out_specs=P()))
 
 
 def pad_to_multiple(batch: Any, multiple: int) -> Any:

@@ -54,3 +54,23 @@ class TestCCC:
         assert np.all(np.isfinite(np.asarray(grad)))
         # loss of identical sequences is ~0
         assert float(losses.ccc_loss(y, y)) < 1e-5
+
+    def test_masked_mse_matches_unmasked_on_full_mask(self):
+        """An all-ones mask must not change the MSE term: the masked
+        denominator has to count N*D elements, not N rows (round-4
+        review finding — the old code scaled the MSE term by D)."""
+        rng = np.random.default_rng(5)
+        p = jnp.asarray(rng.standard_normal((16, 2)).astype(np.float32))
+        y = jnp.asarray(rng.standard_normal((16, 2)).astype(np.float32))
+        full = losses.ccc_loss(p, y, mse_weight=1.0)
+        masked = losses.ccc_loss(p, y, mask=jnp.ones(16),
+                                 mse_weight=1.0)
+        np.testing.assert_allclose(float(masked), float(full), rtol=1e-6)
+        # and a genuinely masked batch == the dense loss on kept rows
+        m = np.ones(16, np.float32)
+        m[10:] = 0.0
+        np.testing.assert_allclose(
+            float(losses.ccc_loss(p, y, mask=jnp.asarray(m),
+                                  mse_weight=0.7)),
+            float(losses.ccc_loss(p[:10], y[:10], mse_weight=0.7)),
+            rtol=1e-5)
