@@ -65,6 +65,14 @@ def main():
         clip=ClipSpec(clip_len=args.clip_len, stride=args.clip_len // 2),
     )
     model = Mimamo(cfg)
+    if args.layer2_mode == "pallas" and not model._pallas_layer2_ok():
+        # The flag exists for a hardware A/B; silently measuring the
+        # conv fallback would record a bogus no-difference verdict
+        # (round-4 review finding).
+        raise SystemExit(
+            "--layer2-mode pallas requires bfloat16 and a TPU backend "
+            "(the trace-time gate rejected this config; the run would "
+            "silently measure the conv path)")
     # One jitted init program — eager init dispatches hundreds of tiny ops
     # through the TPU tunnel (each a remote compile), taking minutes.
     variables = jax.jit(model.init_variables)(jax.random.PRNGKey(0))
@@ -94,7 +102,11 @@ def main():
 
     def warm():
         for i in range(args.warmup):
-            np.asarray(step(variables, clips, np.float32(1000 + i)))
+            # NEGATIVE warmup salts: timed salts are 0..iters-1, so a
+            # positive warmup salt would collide for large --iters and
+            # those steps would hit the tunnel's identical-arg
+            # execution cache (round-4 review finding)
+            np.asarray(step(variables, clips, np.float32(-1 - i)))
             vlog(f"warmup {i} done")
 
     # The tunnel's remote compile occasionally fails/stalls transiently;

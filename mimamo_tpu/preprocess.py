@@ -377,20 +377,27 @@ def pad_short_clip(crops, clip_len: int):
         [crops, xp.repeat(crops[-1:], clip_len - t, axis=0)])
 
 
-def sliding_windows(x: jnp.ndarray, clip_len: int, stride: int
-                    ) -> Tuple[jnp.ndarray, np.ndarray]:
-    """Slice [T, ...] into overlapping [N, clip_len, ...] windows.
+def window_starts(t: int, clip_len: int, stride: int) -> np.ndarray:
+    """Sliding-window start frames over a T-frame sequence (host math).
 
-    The final window is right-aligned to cover the sequence tail, matching
-    sliding-window inference over full videos. Returns (windows, starts).
+    The final window is right-aligned to cover the sequence tail,
+    matching sliding-window inference over full videos.
     """
-    t = x.shape[0]
     if t < clip_len:
         raise ValueError(f"sequence length {t} < clip_len {clip_len}")
     starts = list(range(0, t - clip_len + 1, stride))
     if starts[-1] != t - clip_len:
         starts.append(t - clip_len)
-    starts = np.asarray(starts, np.int32)
+    return np.asarray(starts, np.int32)
+
+
+def sliding_windows(x: jnp.ndarray, clip_len: int, stride: int
+                    ) -> Tuple[jnp.ndarray, np.ndarray]:
+    """Slice [T, ...] into overlapping [N, clip_len, ...] windows.
+
+    Returns (windows, starts); see :func:`window_starts`.
+    """
+    starts = window_starts(x.shape[0], clip_len, stride)
     idx = starts[:, None] + np.arange(clip_len)[None, :]
     return x[jnp.asarray(idx)], starts
 

@@ -296,16 +296,20 @@ class Mimamo:
         return self._predict_clips(variables, crops_rgb)
 
     @functools.partial(tuned_jit, static_argnums=0)
-    def _predict_stream(self, variables: Variables, crops_rgb: jnp.ndarray,
+    def _predict_stream(self, variables: Variables,
+                        last_frame: jnp.ndarray, crops_rgb: jnp.ndarray,
                         carries: Carries,
                         first_pair_invalid: Optional[jnp.ndarray] = None
-                        ) -> Tuple[jnp.ndarray, Carries]:
-        # crops_rgb: [B, chunk+1, ...] — first frame is the previous
-        # chunk's last frame (pair context only; no prediction emitted).
+                        ) -> Tuple[jnp.ndarray, Carries, jnp.ndarray]:
+        # The pair-context concat and the next-carry frame slice live
+        # IN-GRAPH: as eager ops they were extra outstanding tunnel
+        # executions under the caller's single dispatch slot (round-4
+        # review finding; StreamingSession._advance already does this).
+        chunk = jnp.concatenate([last_frame, crops_rgb], axis=1)
         out, new_carries = self.forward(
-            variables, crops_rgb, carries, include_first_pair=True,
+            variables, chunk, carries, include_first_pair=True,
             first_pair_invalid=first_pair_invalid)
-        return out, new_carries
+        return out, new_carries, crops_rgb[:, -1:]
 
     def predict_stream(self, variables: Variables, crops_rgb: jnp.ndarray,
                        carries: Optional[Carries] = None
@@ -319,17 +323,21 @@ class Mimamo:
         semantics); later chunks emit one prediction per frame.
         """
         if carries is None:
-            out, new_carries = self._predict_clips_with_carries(
+            out, new_carries, last = self._predict_clips_with_carries(
                 variables, crops_rgb)
-            return out, (new_carries, crops_rgb[:, -1:])
+            return out, (new_carries, last)
         gru_carries, last_frame = carries
-        chunk = jnp.concatenate([last_frame, crops_rgb], axis=1)
-        out, new_gru = self._predict_stream(variables, chunk, gru_carries)
-        return out, (new_gru, crops_rgb[:, -1:])
+        out, new_gru, last = self._predict_stream(
+            variables, last_frame, crops_rgb, gru_carries)
+        return out, (new_gru, last)
 
     @functools.partial(tuned_jit, static_argnums=0)
     def _predict_clips_with_carries(self, variables, crops_rgb):
-        return self.forward(variables, crops_rgb)
+        out, carries = self.forward(variables, crops_rgb)
+        # the next-chunk pair-context frame, sliced in-graph (an eager
+        # slice would be an uncapped tunnel execution — see
+        # _predict_stream)
+        return out, carries, crops_rgb[:, -1:]
 
     def predict_video(self, variables: Variables, frames_rgb: np.ndarray,
                       boxes: np.ndarray,
@@ -374,10 +382,35 @@ class Mimamo:
         """
         cfg = self.config.clip
         t_real = int(crops.shape[0]) if t_real is None else t_real
+        from . import dispatch as _dp
+        on_host = isinstance(crops, np.ndarray)
         # short videos: one last-crop-padded clip, outputs trimmed below
-        crops = preprocess.pad_short_clip(crops, cfg.clip_len)
-        windows, starts = preprocess.sliding_windows(
-            crops, cfg.clip_len, cfg.stride)
+        if crops.shape[0] < cfg.clip_len:
+            crops = (preprocess.pad_short_clip(crops, cfg.clip_len)
+                     if on_host else
+                     _dp.run_settled(preprocess.pad_short_clip, crops,
+                                     cfg.clip_len))
+        starts = preprocess.window_starts(crops.shape[0], cfg.clip_len,
+                                          cfg.stride)
+        idx = starts[:, None] + np.arange(cfg.clip_len)[None, :]
+        # Materialize each batch of windows BEFORE the predict
+        # pipeline, each gather capped + probe-synced: eager gathers/
+        # slices/pads interleaved with the capped depth-2 dispatches
+        # were extra outstanding tunnel executions (round-4 review
+        # finding). The final partial batch repeats its last window
+        # (per-clip independence: kept outputs are unchanged; the
+        # repeats are trimmed after fetch).
+        batches = []
+        for i in range(0, len(starts), batch_clips):
+            sel = idx[i:i + batch_clips]
+            pad = batch_clips - len(sel)
+            if pad:
+                sel = np.concatenate([sel, np.repeat(sel[-1:], pad,
+                                                     axis=0)])
+            win = (crops[sel] if on_host else
+                   _dp.run_settled(lambda c, ix: c[ix], crops,
+                                   jnp.asarray(sel)))
+            batches.append((win, batch_clips - pad))
         # Depth-2 dispatch pipeline under the PROCESS-WIDE in-flight
         # cap (mimamo_tpu.dispatch): fetch batch i-1 (tiny [B, T, 2])
         # while batch i runs. The axon tunnel wedges past ~2
@@ -386,28 +419,22 @@ class Mimamo:
         # so the budget is shared — when another caller holds a slot,
         # the non-blocking second dispatch fails and this pipeline
         # degrades to depth-1 instead of stacking a 3rd execution.
-        from . import dispatch as _dp
         preds, pending = [], None
 
         def fetch(p, keep):
             out = p.fetch()
             preds.append(out[:keep] if keep < out.shape[0] else out)
 
-        for i in range(0, windows.shape[0], batch_clips):
-            batch = windows[i:i + batch_clips]
-            pad = batch_clips - batch.shape[0]
-            if pad:
-                batch = jnp.pad(batch,
-                                [(0, pad)] + [(0, 0)] * (batch.ndim - 1))
-            p = _dp.dispatch(self.predict_clips, variables, batch,
+        for win, keep in batches:
+            p = _dp.dispatch(self.predict_clips, variables, win,
                              _block=pending is None)
             if p is None:                      # budget contended
                 fetch(*pending)
                 pending = None
-                p = _dp.dispatch(self.predict_clips, variables, batch)
+                p = _dp.dispatch(self.predict_clips, variables, win)
             if pending is not None:
                 fetch(*pending)
-            pending = (p, batch_clips - pad)
+            pending = (p, keep)
         fetch(*pending)
         merged = preprocess.merge_window_predictions(
             np.concatenate(preds, axis=0), starts,
@@ -431,6 +458,9 @@ class Mimamo:
         """
         crop_fn = self._align_video if align else self._crop_video
         t = frames_rgb.shape[0]
+        if t == 0:
+            raise ValueError("crop_video_chunked: empty video "
+                             "(0 decoded frames)")
         pieces = []
         # Chunk programs go through the process-wide in-flight cap
         # (mimamo_tpu.dispatch) at pipeline depth 2: an unbounded loop

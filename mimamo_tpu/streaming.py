@@ -179,9 +179,8 @@ class StreamingSession:
         # Fresh slots use their own first frame as pair context.
         ctx_in = jnp.where(fresh[:, None, None, None, None],
                            x[:, :1], context)
-        chunk_in = jnp.concatenate([ctx_in, x], axis=1)
-        out, new_gru = self.model._predict_stream(
-            variables, chunk_in, gru, first_pair_invalid=fresh)
+        out, new_gru, _last = self.model._predict_stream(
+            variables, ctx_in, x, gru, first_pair_invalid=fresh)
         # Commit state only for slots that were actually fed.
         new_gru = _select_slots(new_gru, gru, fed_mask, self._slot_axis)
         new_context = jnp.where(fed_mask[:, None, None, None, None],
