@@ -51,7 +51,6 @@ def main() -> int:
 
     import jax
     jax.config.update("jax_platforms", "cpu")
-    import dataclasses
 
     from mimamo_tpu.config import (BackboneSpec, ClipSpec, MimamoConfig,
                                    PhaseSpec, PyramidSpec, TemporalSpec)
@@ -90,7 +89,9 @@ def main() -> int:
             arr.flush()
             del arr
             sources.append((i, CropSource(path)))
-        per_stream_mb = args.frames * s * s * 3 / 1e6
+        # MiB to match ru_maxrss (mixed MB/MiB skewed the
+        # headline comparison ~5% - round-4 review finding)
+        per_stream_mb = args.frames * s * s * 3 / 2**20
         base = rss_mb()
         n_out = 0
         for _key, series in eval_mod.stream_predict_many(

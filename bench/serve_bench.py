@@ -30,6 +30,7 @@ Results recorded in BASELINE.md (round 4).
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -217,6 +218,10 @@ def main():
             proc.kill()
             proc.wait(timeout=30)
         errlog.close()
+        if proc.returncode not in (0, None):
+            sys.stderr.write(
+                open(os.path.join(tmp, "daemon_stderr.log")).read()[-2000:])
+        shutil.rmtree(tmp, ignore_errors=True)   # ~100 MB of chunks/videos
 
 
 if __name__ == "__main__":

@@ -49,7 +49,9 @@ def main() -> int:
 
     t, chunk = args.frames, args.chunk
     cfg = MimamoConfig(clip=ClipSpec(clip_len=t, stride=t // 2))
-    variables = Mimamo(cfg).init_variables(jax.random.PRNGKey(0))
+    # jitted init: eager init is minutes of remote compile on the tunnel
+    model0 = Mimamo(cfg)
+    variables = jax.jit(model0.init_variables)(jax.random.PRNGKey(0))
 
     # Smooth synthetic "face": gaussian blob drifting subpixel per frame
     # + slow brightness ramp + sensor noise (the regime the stride

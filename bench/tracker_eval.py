@@ -152,10 +152,10 @@ def evaluate(frames, gt_boxes, gt_eyes, mode):
 def main() -> int:
     from mimamo_tpu.io import decode
     det = decode._haar_detector()
+    eye_det = decode._eye_detector()
     print(json.dumps({"detector": type(det).__name__ if det else None,
                       "eye_detector":
-                      type(decode._eye_detector()).__name__
-                      if decode._eye_detector() else None}))
+                      type(eye_det).__name__ if eye_det else None}))
     scenarios = [("static", "translate", 0.0),
                  ("translate-1px", "translate", 1.0),
                  ("translate-2px", "translate", 2.0),

@@ -41,8 +41,6 @@ def main() -> int:
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    import dataclasses
-
     import jax.numpy as jnp
 
     from mimamo_tpu import train
@@ -57,7 +55,10 @@ def main() -> int:
         train=TrainSpec(freeze_backbone=not args.finetune,
                         batch_size=args.batch))
     model = Mimamo(cfg)
-    state, tx = train.create_train_state(model, jax.random.PRNGKey(0))
+    # jitted init: eager init is minutes of remote compile (CLAUDE.md)
+    variables = jax.jit(model.init_variables)(jax.random.PRNGKey(0))
+    state, tx = train.create_train_state(model, jax.random.PRNGKey(0),
+                                         variables=variables)
     step = train.make_train_step(model, tx)
 
     b, t, s = args.batch, args.clip_len, cfg.clip.crop_size
@@ -73,19 +74,21 @@ def main() -> int:
         batch["features"] = jnp.asarray(rng.standard_normal(
             (b, t, cfg.backbone.feature_dim)).astype(np.float32))
 
-    def salted(salt):
-        # new pixels every step (tunnel caches identical args); labels
-        # static — gradient math doesn't care for timing purposes
-        out = dict(batch)
-        out["clips"] = batch["clips"] + salt
-        return out
+    # Salt IN-GRAPH: new pixels every step (the tunnel caches identical
+    # args) without an eager device add per iteration — that add was a
+    # third outstanding execution next to the depth-2 step pipeline
+    # (round-4 review finding). Donation moves to the outer jit.
+    salted_step = jax.jit(
+        lambda st, bt, salt: step(st, {**bt, "clips":
+                                       bt["clips"] + salt}),
+        donate_argnums=0)
 
-    state, metrics = step(state, salted(jnp.float32(999)))  # compile
+    state, metrics = salted_step(state, batch, jnp.float32(-1))  # compile
     float(metrics["loss"])
     t0 = time.perf_counter()
     pending = None
     for i in range(args.iters):
-        state, metrics = step(state, salted(jnp.float32(i)))
+        state, metrics = salted_step(state, batch, jnp.float32(i))
         if pending is not None:
             float(pending["loss"])
         pending = metrics

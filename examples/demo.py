@@ -1,4 +1,9 @@
-"""End-to-end demo: synthesize a video, run the full pipeline, plot CCC.
+"""End-to-end demo: synthesize a video, run the full two-step pipeline.
+
+Prints the artifact paths and the head of the predicted (valence,
+arousal) series — no accuracy metric is computable here (the synthetic
+video has no ground-truth labels; use ``cli eval`` with a labeled
+dataset for CCC).
 
 The reference ships a ``run_example.py`` demo over a sample video
 (SURVEY.md §2 "Demo / inference API"); no sample video can ship in this

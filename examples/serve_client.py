@@ -38,7 +38,12 @@ class DaemonClient:
         self.proc.stdin.flush()
 
     def read(self):
-        return json.loads(self.proc.stdout.readline())
+        resp = json.loads(self.proc.stdout.readline())
+        # surface daemon-side errors instead of a later KeyError on a
+        # missing response field
+        if not resp.get("ok", False) and not resp.get("shutdown"):
+            raise RuntimeError(f"daemon error: {resp.get('error', resp)}")
+        return resp
 
     def request(self, **req):
         self.send(**req)
