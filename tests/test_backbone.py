@@ -138,8 +138,6 @@ class TestFerplusDag:
     def test_classify_frames_matches_torch_softmax(self):
         """The FER+ classifier head exposed via Mimamo.classify_frames
         == softmax of the torch mirror's logits on the same pixels."""
-        import dataclasses
-        import jax
         from mimamo_tpu.runner import Mimamo
         from mimamo_tpu.config import (BackboneSpec, ClipSpec,
                                        MimamoConfig, PhaseSpec,
@@ -385,9 +383,18 @@ class TestPallasLayer2:
         want = np.asarray(m_conv.embed_frames(variables, crops))
         layer2_kernel._FORCE_INTERPRET = True
         try:
+            # the split path must actually ENGAGE — runner falls back
+            # to conv silently when the gate rejects, which would make
+            # this comparison vacuous (round-4 review finding)
+            assert m_pal._pallas_layer2_ok()
             got = np.asarray(m_pal.embed_frames(variables, crops))
         finally:
             layer2_kernel._FORCE_INTERPRET = False
         assert got.shape == want.shape
         scale = max(1e-6, np.abs(want).max())
-        assert np.abs(got - want).max() / scale < 2e-2  # bf16 class
+        diff = np.abs(got - want).max() / scale
+        assert diff < 2e-2  # bf16 class
+        # the kernel's bf16 residual-stream rounding provably differs
+        # from XLA's conv lowering: identical outputs would mean the
+        # conv path ran
+        assert diff > 0.0
