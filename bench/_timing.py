@@ -38,7 +38,11 @@ def time_chained(jitted, inputs, iters, per_step):
     Returns:
       Seconds per application of the function under test.
     """
-    float(jitted(np.float32(999), *inputs))        # compile + warm
+    # NEGATIVE warm salt: timed salts are 0..iters-1, so a positive warm
+    # salt (e.g. 999) would collide for --iters >= 1000 and that step
+    # would hit the tunnel's identical-arg execution cache (same bug
+    # class bench.py fixed with negative warmup salts).
+    float(jitted(np.float32(-1), *inputs))         # compile + warm
     t0 = time.perf_counter()
     pending = jitted(np.float32(0), *inputs)
     for j in range(1, iters):

@@ -692,12 +692,16 @@ def cmd_bench(args) -> int:
     # bench.py only parameterizes a subset of the common knobs; a knob
     # it cannot forward must not be silently ignored (the JSON line
     # would claim a config that wasn't benchmarked — round-4 review
-    # finding).
-    unsupported = {"stride": 24, "crop_size": 112, "pyramid_height": 3,
-                   "orientations": 4, "phase_size": 48, "snippet_len": 1,
-                   "gru_layers": 1}
-    offending = [k for k, dflt in unsupported.items()
-                 if getattr(args, k) != dflt]
+    # finding). Defaults come from _add_common itself, not a hardcoded
+    # copy, so changing a default there can't silently break the guard
+    # (round-5 advisor finding).
+    ref = argparse.ArgumentParser()
+    _add_common(ref)
+    unsupported = ("stride", "crop_size", "pyramid_height",
+                   "orientations", "phase_size", "snippet_len",
+                   "gru_layers")
+    offending = [k for k in unsupported
+                 if getattr(args, k) != ref.get_default(k)]
     if offending:
         raise SystemExit(
             "bench.py does not parameterize: "

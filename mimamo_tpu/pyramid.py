@@ -165,6 +165,13 @@ _PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
 # attribution): False re-enables the legacy zero-imag complex forward.
 _SPLIT_REAL_FORWARD = True
 
+# Trace-time engagement record for the A/B test: _mm2 adds the branch it
+# traced ("split" / "complex") so the test can positively confirm the
+# flag reached the trace instead of asserting the two lowerings round
+# differently (round-5 advisor finding). Python-side only — no effect
+# on the compiled program.
+_TRACED_FORWARD_PATHS: set = set()
+
 
 def _dft_precision(spec: PyramidSpec):
     return _PRECISIONS[spec.dft_precision]
@@ -209,9 +216,12 @@ def _mm2(x: jnp.ndarray, m_h: np.ndarray, m_w: np.ndarray,
     """
     mh = jnp.asarray(m_h)
     if jnp.iscomplexobj(x) or not _SPLIT_REAL_FORWARD:
+        if not jnp.iscomplexobj(x):
+            _TRACED_FORWARD_PATHS.add("complex")
         y = jnp.einsum("ph,...hw->...pw", mh, x.astype(jnp.complex64),
                        precision=precision)
     else:
+        _TRACED_FORWARD_PATHS.add("split")
         xr = x.astype(jnp.float32)
         y = jax.lax.complex(
             jnp.einsum("ph,...hw->...pw", mh.real, xr,

@@ -382,11 +382,22 @@ class TestPallasLayer2:
                             .astype(np.float32))
         want = np.asarray(m_conv.embed_frames(variables, crops))
         layer2_kernel._FORCE_INTERPRET = True
+
+        def _must_not_run(*_a, **_k):  # pragma: no cover - failure path
+            raise AssertionError("conv fallback traced — the pallas "
+                                 "split path did not engage")
+
         try:
             # the split path must actually ENGAGE — runner falls back
             # to conv silently when the gate rejects, which would make
-            # this comparison vacuous (round-4 review finding)
+            # this comparison vacuous (round-4 review finding). Positive
+            # signal: the conv fallback twins raise if traced (asserting
+            # got != want bit-wise instead would spuriously fail if a
+            # future XLA version happened to round identically —
+            # round-5 advisor finding).
             assert m_pal._pallas_layer2_ok()
+            m_pal.backbone_trunk.apply = _must_not_run
+            m_pal.backbone_fused.apply = _must_not_run
             got = np.asarray(m_pal.embed_frames(variables, crops))
         finally:
             layer2_kernel._FORCE_INTERPRET = False
@@ -394,7 +405,3 @@ class TestPallasLayer2:
         scale = max(1e-6, np.abs(want).max())
         diff = np.abs(got - want).max() / scale
         assert diff < 2e-2  # bf16 class
-        # the kernel's bf16 residual-stream rounding provably differs
-        # from XLA's conv lowering: identical outputs would mean the
-        # conv path ran
-        assert diff > 0.0

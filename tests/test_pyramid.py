@@ -229,17 +229,22 @@ class TestMatmulDFT:
         mm = PyramidSpec(height=3, orientations=4, input_size=(64, 64),
                          fft_mode="matmul")
         assert pyramid._SPLIT_REAL_FORWARD
+        # positive engagement signal: each run must TRACE its branch of
+        # _mm2 (a stale jit cache on this path would make the A/B
+        # vacuous). Asserting the outputs differ numerically instead
+        # would spuriously fail if a future XLA version rounded the two
+        # lowerings identically (round-5 advisor finding).
+        pyramid._TRACED_FORWARD_PATHS.clear()
         a = np.asarray(phase_mod.micro_motion_features(frames, mm, ph))
+        assert "split" in pyramid._TRACED_FORWARD_PATHS
         try:
             pyramid._SPLIT_REAL_FORWARD = False
+            pyramid._TRACED_FORWARD_PATHS.clear()
             b = np.asarray(phase_mod.micro_motion_features(frames, mm, ph))
+            assert "complex" in pyramid._TRACED_FORWARD_PATHS
         finally:
             pyramid._SPLIT_REAL_FORWARD = True
         np.testing.assert_allclose(a, b, atol=1e-3, rtol=0)
-        # the two lowerings genuinely differ in rounding (~1e-4 class);
-        # bit-equality would mean the flag flip never reached the trace
-        # (e.g. a future jit cache on this path) and the A/B is vacuous
-        assert np.abs(a - b).max() > 0.0
 
     def test_dft_precision_knob(self):
         """On CPU both precisions are exact f32, so 'high' must agree
