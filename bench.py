@@ -45,6 +45,16 @@ def main():
                     choices=["conv", "pallas"],
                     help="layer2 lowering A/B (pallas = fused "
                          "VMEM-resident kernel; TPU+bf16 only)")
+    ap.add_argument("--stem-mode", default="composite",
+                    choices=["composite", "upscale"],
+                    help="stem lowering A/B (upscale = the reference "
+                         "two-step lowering that was the default "
+                         "through round 3)")
+    ap.add_argument("--fft-mode", default="auto",
+                    choices=["auto", "fft", "matmul"],
+                    help="pyramid DFT lowering A/B")
+    ap.add_argument("--use-pallas", action="store_true",
+                    help="fused Pallas phase-diff kernel (TPU only)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--verbose", action="store_true",
                     help="print stage timings to stderr")
@@ -72,16 +82,19 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from mimamo_tpu.config import (BackboneSpec, ClipSpec, MimamoConfig,
-                                   TemporalSpec)
+                                   PyramidSpec, TemporalSpec)
     from mimamo_tpu.runner import Mimamo
 
     cfg = MimamoConfig(
+        pyramid=PyramidSpec(fft_mode=args.fft_mode),
         backbone=BackboneSpec(dtype=args.dtype,
                               input_size=args.backbone_size,
                               appearance_stride=args.appearance_stride,
-                              layer2_mode=args.layer2_mode),
+                              layer2_mode=args.layer2_mode,
+                              stem_mode=args.stem_mode),
         temporal=TemporalSpec(streams=args.streams),
         clip=ClipSpec(clip_len=args.clip_len, stride=args.clip_len // 2),
+        use_pallas=args.use_pallas,
     )
     model = Mimamo(cfg)
     if args.layer2_mode == "pallas" and not model._pallas_layer2_ok():
@@ -168,7 +181,8 @@ def main():
     band_applies = on_default_tpu() and all(
         getattr(args, k) == ap.get_default(k)
         for k in ("batch", "clip_len", "dtype", "backbone_size",
-                  "streams", "appearance_stride", "layer2_mode"))
+                  "streams", "appearance_stride", "layer2_mode",
+                  "stem_mode", "fft_mode", "use_pallas"))
     passes = [measure(0)]
     p = 1
     while ((p < args.passes)

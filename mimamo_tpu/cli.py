@@ -43,7 +43,49 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "reference parity)")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--fft-mode", default="auto",
+                   choices=["auto", "fft", "matmul"],
+                   help="pyramid DFT lowering: matmul = MXU DFT-as-"
+                        "matmul (TPU default via auto), fft = jnp.fft")
+    p.add_argument("--stem-mode", default="composite",
+                   choices=["composite", "upscale"],
+                   help="fused-inference stem lowering: composite folds "
+                        "the 2x upscale into conv1 (+6%% measured); "
+                        "upscale keeps the reference two-step lowering")
+    p.add_argument("--use-pallas", action="store_true",
+                   help="fused Pallas phase-diff kernel on TPU "
+                        "(measured default stays XLA fusion — "
+                        "BASELINE.md negative result)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+
+
+def _add_multihost(p: argparse.ArgumentParser, what: str) -> None:
+    """Pod-slice launch flags (train / eval / predict-corpus share the
+    exact pattern: same command on every host, disjoint work slices —
+    SURVEY.md §5 distributed row, §7 step 7)."""
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address host:port "
+                        "(jax.distributed.initialize); launch the SAME "
+                        "command on every host with --process-id 0..P-1 "
+                        f"(see docs/TRAINING.md). {what}")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host: total process count P")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="multi-host: this process's id (0-based)")
+
+
+def _init_multihost(args) -> None:
+    """jax.distributed.initialize from the CLI flags (before any other
+    backend use). No-op without --coordinator."""
+    if not getattr(args, "coordinator", None):
+        return
+    import jax
+    from . import parallel
+    n = parallel.initialize_distributed(args.coordinator,
+                                        args.num_processes,
+                                        args.process_id)
+    print(f"distributed: process {jax.process_index()} of "
+          f"{jax.process_count()}, {n} global devices", file=sys.stderr)
 
 
 def _config(args):
@@ -53,16 +95,19 @@ def _config(args):
     return MimamoConfig(
         pyramid=PyramidSpec(height=args.pyramid_height,
                             orientations=args.orientations,
-                            input_size=(s, s)),
+                            input_size=(s, s),
+                            fft_mode=args.fft_mode),
         phase=PhaseSpec(phase_size=args.phase_size),
         backbone=BackboneSpec(input_size=args.backbone_size,
                               dtype=args.dtype,
-                              appearance_stride=args.appearance_stride),
+                              appearance_stride=args.appearance_stride,
+                              stem_mode=args.stem_mode),
         temporal=TemporalSpec(snippet_len=args.snippet_len,
                               gru_layers=args.gru_layers,
                               streams=args.streams),
         clip=ClipSpec(clip_len=args.clip_len, stride=args.stride,
-                      crop_size=s))
+                      crop_size=s),
+        use_pallas=args.use_pallas)
 
 
 def _setup_backend(args) -> None:
@@ -148,31 +193,35 @@ def cmd_train(args) -> int:
         # Must run before any backend use; afterwards jax.devices()
         # spans the pod slice (SURVEY.md §5 "Distributed communication
         # backend") and make_mesh() builds the global data mesh.
-        n = parallel.initialize_distributed(args.coordinator,
-                                            args.num_processes,
-                                            args.process_id)
         if not args.data_parallel:
             raise SystemExit("multi-host training requires "
                              "--data-parallel (the global batch is "
                              "sharded over the pod-slice mesh)")
-        print(f"distributed: process {jax.process_index()} of "
-              f"{jax.process_count()}, {n} global devices",
-              file=sys.stderr)
+        _init_multihost(args)
     import jax.numpy as jnp
     import numpy as np
 
     loss_axis = args.loss_axis or (
         "batch" if args.dataset == "omg" else "time")
-    config = dataclasses.replace(
-        _config(args),
-        train=TrainSpec(learning_rate=args.lr, batch_size=args.batch,
-                        epochs=args.epochs, seed=args.seed,
-                        loss_axis=loss_axis,
-                        lr_schedule=args.lr_schedule,
-                        warmup_steps=args.warmup_steps,
-                        augment=args.augment,
-                        brightness_jitter=args.brightness_jitter,
-                        freeze_backbone=not args.finetune_backbone))
+    # --mse-weight alone implies the composite loss; an explicit
+    # --loss ccc+mse without a weight is caught by TrainSpec validation
+    loss = ("ccc+mse" if args.mse_weight > 0 and args.loss == "ccc"
+            else args.loss)
+    try:
+        train_spec = TrainSpec(
+            learning_rate=args.lr, batch_size=args.batch,
+            epochs=args.epochs, seed=args.seed,
+            loss=loss, mse_weight=args.mse_weight,
+            weight_decay=args.weight_decay,
+            loss_axis=loss_axis,
+            lr_schedule=args.lr_schedule,
+            warmup_steps=args.warmup_steps,
+            augment=args.augment,
+            brightness_jitter=args.brightness_jitter,
+            freeze_backbone=not args.finetune_backbone)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    config = dataclasses.replace(_config(args), train=train_spec)
     # Fine-tuning / resuming from a converted checkpoint must inherit
     # its preprocessing convention (mean / channel order) exactly like
     # every other --ckpt consumer — otherwise training silently uses
@@ -383,6 +432,7 @@ def cmd_train(args) -> int:
 
 def cmd_eval(args) -> int:
     _setup_backend(args)
+    _init_multihost(args)
     import jax
 
     from . import checkpoints, train
@@ -401,20 +451,30 @@ def cmd_eval(args) -> int:
     mesh = None
     if args.data_parallel:
         from . import parallel
-        mesh = parallel.make_mesh()
+        # Multi-host eval shards WORK per process (disjoint sequence
+        # slices) rather than sharding one global batch-of-streams:
+        # each process's streaming session runs on its own addressable
+        # devices (host feeds cannot device_put onto another host's
+        # shards), and only the tiny CCC moment sums cross hosts.
+        mesh = parallel.make_mesh(
+            jax.local_devices() if jax.process_count() > 1 else None)
         if args.batch_streams % mesh.devices.size:
             raise SystemExit(
                 f"--batch-streams {args.batch_streams} must be "
-                f"divisible by the device count {mesh.devices.size} "
-                f"for --data-parallel")
+                f"divisible by the local device count "
+                f"{mesh.devices.size} for --data-parallel")
     out = fn(model, variables, ds, chunk=config.clip.clip_len,
-             batch_streams=args.batch_streams, mesh=mesh)
+             batch_streams=args.batch_streams, mesh=mesh,
+             process_id=jax.process_index(),
+             process_count=jax.process_count())
+    # every process computes (and prints) the identical global metrics
     print(json.dumps(out))
     return 0
 
 
 def cmd_predict_corpus(args) -> int:
     _setup_backend(args)
+    _init_multihost(args)
     import glob as globmod
 
     import jax
@@ -432,7 +492,13 @@ def cmd_predict_corpus(args) -> int:
     paths = sorted(globmod.glob(args.videos))
     if not paths:
         raise SystemExit(f"no videos match {args.videos!r}")
-    mesh = parallel.make_mesh() if args.data_parallel else None
+    # Multi-host: each process crunches its OWN corpus slice on its own
+    # addressable devices (CorpusRunner shards the path list per
+    # process); a global mesh would try to device_put host-local clip
+    # batches onto other hosts' shards.
+    mesh = (parallel.make_mesh(
+        jax.local_devices() if jax.process_count() > 1 else None)
+        if args.data_parallel else None)
     runner = CorpusRunner(model, variables, args.out_dir,
                           batch_clips=args.batch, mesh=mesh,
                           loader_threads=args.threads,
@@ -711,7 +777,11 @@ def cmd_bench(args) -> int:
            "--clip-len", str(args.clip_len),
            "--backbone-size", str(args.backbone_size),
            "--streams", args.streams,
-           "--appearance-stride", str(args.appearance_stride)]
+           "--appearance-stride", str(args.appearance_stride),
+           "--stem-mode", args.stem_mode,
+           "--fft-mode", args.fft_mode]
+    if args.use_pallas:
+        cmd.append("--use-pallas")
     if args.cpu:
         cmd.append("--cpu")
     return subprocess.call(cmd)
@@ -780,6 +850,14 @@ def main(argv: Optional[list] = None) -> int:
                    help="cosine = linear warmup + cosine decay over the "
                         "whole run")
     p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--loss", choices=["ccc", "ccc+mse"], default="ccc",
+                   help="training loss: 1-CCC, optionally + an MSE "
+                        "term weighted by --mse-weight (the reference "
+                        "exposes the same choice)")
+    p.add_argument("--mse-weight", type=float, default=0.0,
+                   help="MSE term weight; > 0 implies --loss ccc+mse")
+    p.add_argument("--weight-decay", type=float, default=0.0,
+                   help="decoupled AdamW weight decay (0 = plain Adam)")
     p.add_argument("--augment", action="store_true",
                    help="on-device per-clip random horizontal flip "
                         "(online appearance stream only)")
@@ -795,17 +873,8 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over all devices")
-    p.add_argument("--coordinator", default=None,
-                   help="multi-host: coordinator address host:port "
-                        "(jax.distributed.initialize); launch the SAME "
-                        "command on every host with --process-id 0..P-1 "
-                        "(see docs/TRAINING.md). Implies per-process "
-                        "data sharding: each host draws batch/P clips "
-                        "from a disjoint slice")
-    p.add_argument("--num-processes", type=int, default=None,
-                   help="multi-host: total process count P")
-    p.add_argument("--process-id", type=int, default=None,
-                   help="multi-host: this process's id (0-based)")
+    _add_multihost(p, "Implies per-process data sharding: each host "
+                      "draws batch/P clips from a disjoint slice")
     p.add_argument("--eval-root", default=None,
                    help="validation dataset root (enables best-val ckpt)")
     p.add_argument("--eval-manifest", default=None)
@@ -833,6 +902,10 @@ def main(argv: Optional[list] = None) -> int:
                    help="shard the batch-of-streams slot axis over "
                         "all devices (batch-streams must be a "
                         "multiple of the device count)")
+    _add_multihost(p, "Each process streams a disjoint sequence slice "
+                      "on its own devices; the CCC reduces exact "
+                      "moment sums across hosts, so every process "
+                      "prints the identical global metrics")
     _add_common(p)
     p.set_defaults(fn=cmd_eval)
 
@@ -861,6 +934,10 @@ def main(argv: Optional[list] = None) -> int:
                         "without sidecars the C++ loader aligns from "
                         "its own eye tracker at full threaded "
                         "throughput")
+    _add_multihost(p, "Each process works a disjoint round-robin video "
+                      "slice and appends to its own manifest in the "
+                      "shared --out-dir (BASELINE.json config 5: "
+                      "pod-slice corpus throughput)")
     _add_common(p)
     p.set_defaults(fn=cmd_predict_corpus)
 

@@ -31,6 +31,66 @@ def ccc_np(pred: np.ndarray, target: np.ndarray,
     return 2.0 * cov / (vp + vt + (mp - mt) ** 2 + eps)
 
 
+def ccc_moment_sums(pred: np.ndarray, target: np.ndarray) -> np.ndarray:
+    """[6, D] float64 sufficient statistics for a distributed CCC.
+
+    Rows: (n, Σp, Σy, Σp², Σy², Σpy), n broadcast over D. Sums from
+    disjoint row slices ADD, so per-process partials combine into the
+    exact global metric (`ccc_from_moment_sums`) — the multi-host eval
+    reduce (SURVEY.md §5 distributed row). Zero local rows (a process
+    whose corpus slice is empty) contribute all-zeros, a valid identity.
+    """
+    p = np.asarray(pred, np.float64)
+    y = np.asarray(target, np.float64)
+    if len(p) == 0:
+        # reshape(0, -1) is ill-defined on empty arrays; the identity
+        # element is all-zeros at the trailing width (default 2 = v/a)
+        return np.zeros((6, p.shape[-1] if p.ndim > 1 else 2))
+    p, y = p.reshape(len(p), -1), y.reshape(len(y), -1)
+    d = p.shape[1]
+    return np.stack([np.full(d, float(len(p))), p.sum(0), y.sum(0),
+                     (p * p).sum(0), (y * y).sum(0), (p * y).sum(0)])
+
+
+def ccc_from_moment_sums(sums: np.ndarray,
+                         eps: float = 1e-8) -> np.ndarray:
+    """CCC from (summed) `ccc_moment_sums` rows. Population (1/N)
+    moments via E[x²]−E[x]², matching `ccc_np` to float64 rounding."""
+    n, sp, sy, spp, syy, spy = np.asarray(sums, np.float64)
+    n = np.maximum(n, 1.0)
+    mp, my = sp / n, sy / n
+    vp = spp / n - mp * mp
+    vy = syy / n - my * my
+    cov = spy / n - mp * my
+    return 2.0 * cov / (vp + vy + (mp - my) ** 2 + eps)
+
+
+def _process_slice(it, process_id: Optional[int],
+                   process_count: Optional[int]):
+    """Round-robin slice of an (index, ...) item stream per process —
+    the eval counterpart of `parallel.shard_paths` (disjoint work,
+    identical enumeration on every process)."""
+    if not process_count or process_count == 1:
+        yield from it
+        return
+    for j, item in enumerate(it):
+        if j % process_count == process_id:
+            yield item
+
+
+def _reduce_ccc(preds: np.ndarray, golds: np.ndarray,
+                process_count: Optional[int]):
+    """(ccc [D], total rows) from local [N_local, D] arrays — host
+    ccc_np on one process; exact moment-sum allgather (a COLLECTIVE —
+    every process must reach it) across a pod slice."""
+    if not process_count or process_count == 1:
+        return ccc_np(preds, golds), len(preds)
+    from .. import parallel
+    sums = parallel.host_allgather_f64(
+        ccc_moment_sums(preds, golds)).sum(axis=0)
+    return ccc_from_moment_sums(sums), int(round(sums[0, 0]))
+
+
 def _predict_sequence(model: Mimamo, variables, crops: np.ndarray,
                       chunk: int = 48) -> np.ndarray:
     """Per-frame predictions for one full sequence via streaming chunks.
@@ -137,14 +197,24 @@ def stream_predict_many(model: Mimamo, variables,
 
 
 def evaluate_omg(model: Mimamo, variables, dataset: OMGEmotionDataset,
-                 chunk: int = 48, batch_streams: int = 8, mesh=None
+                 chunk: int = 48, batch_streams: int = 8, mesh=None,
+                 process_id: Optional[int] = None,
+                 process_count: Optional[int] = None
                  ) -> Dict[str, float]:
-    """Utterance-level CCC for valence and arousal."""
+    """Utterance-level CCC for valence and arousal.
+
+    ``process_id``/``process_count`` run a pod-slice eval: each process
+    streams a disjoint round-robin slice of the utterances on its OWN
+    devices and the final CCC reduces exact moment sums across
+    processes (every process returns — and may print — the identical
+    global metrics). Defaults keep the single-host behavior bit-exact.
+    """
     labels = {}
 
     def items():
         # chunk-readable sources: eval never holds a full utterance
-        for i, src, label in dataset.utterance_sources():
+        for i, src, label in _process_slice(
+                dataset.utterance_sources(), process_id, process_count):
             labels[i] = label
             yield i, src
 
@@ -155,20 +225,29 @@ def evaluate_omg(model: Mimamo, variables, dataset: OMGEmotionDataset,
                                          mesh=mesh):
         preds.append(series.mean(axis=0))
         golds.append(labels[i])
-    ccc = ccc_np(np.stack(preds), np.stack(golds))
+    ccc, n = _reduce_ccc(
+        np.stack(preds) if preds else np.zeros((0, 2)),
+        np.stack(golds) if golds else np.zeros((0, 2)), process_count)
     return {"valence_ccc": float(ccc[0]), "arousal_ccc": float(ccc[1]),
-            "mean_ccc": float(ccc.mean()), "n_utterances": len(preds)}
+            "mean_ccc": float(ccc.mean()), "n_utterances": int(n)}
 
 
 def evaluate_affwild2(model: Mimamo, variables, dataset: AffWild2Dataset,
-                      chunk: int = 48, batch_streams: int = 8, mesh=None
+                      chunk: int = 48, batch_streams: int = 8, mesh=None,
+                      process_id: Optional[int] = None,
+                      process_count: Optional[int] = None
                       ) -> Dict[str, float]:
-    """Frame-level CCC over all valid frames of all videos."""
+    """Frame-level CCC over all valid frames of all videos.
+
+    Pod-slice semantics as `evaluate_omg`: disjoint video slices per
+    process, exact global CCC via the moment-sum allgather.
+    """
     meta = {}
 
     def items():
         # chunk-readable sources: eval never holds a full video
-        for vid, src, labels, mask in dataset.video_sources():
+        for vid, src, labels, mask in _process_slice(
+                dataset.video_sources(), process_id, process_count):
             meta[vid] = (labels, mask)
             yield vid, src
 
@@ -181,8 +260,9 @@ def evaluate_affwild2(model: Mimamo, variables, dataset: AffWild2Dataset,
         valid = mask > 0
         preds.append(series[valid])
         golds.append(labels[valid])
-    preds = np.concatenate(preds)
-    golds = np.concatenate(golds)
-    ccc = ccc_np(preds, golds)
+    ccc, n = _reduce_ccc(
+        np.concatenate(preds) if preds else np.zeros((0, 2)),
+        np.concatenate(golds) if golds else np.zeros((0, 2)),
+        process_count)
     return {"valence_ccc": float(ccc[0]), "arousal_ccc": float(ccc[1]),
-            "mean_ccc": float(ccc.mean()), "n_frames": int(len(preds))}
+            "mean_ccc": float(ccc.mean()), "n_frames": int(n)}

@@ -121,6 +121,30 @@ def shard_paths(paths: Sequence[str], process_id: Optional[int] = None,
     return list(paths[pid::n])
 
 
+def host_allgather_f64(x: np.ndarray) -> np.ndarray:
+    """All-gather a small float64 host array across processes -> [P, ...].
+
+    The cross-process metric reduce for pod-slice eval (SURVEY.md §5
+    distributed row): each process contributes its local CCC moment
+    sums and every process returns the full stack.
+    ``multihost_utils.process_allgather`` moves values through the
+    devices, which silently downcast float64 while x64 is disabled, so
+    the value is split into an exact (hi, lo) float32 pair and
+    recombined in float64 after the gather — moment sums keep full
+    fidelity. Single process: returns ``x[None]`` without touching a
+    device. Multi-process: a COLLECTIVE — every process must call it.
+    """
+    x = np.asarray(x, np.float64)
+    if jax.process_count() == 1:
+        return x[None]
+    from jax.experimental import multihost_utils
+    hi = x.astype(np.float32)
+    lo = (x - hi).astype(np.float32)
+    g = np.asarray(multihost_utils.process_allgather(
+        np.stack([hi, lo])), np.float64)
+    return g[:, 0] + g[:, 1]
+
+
 def sharded_ccc(preds: Any, golds: Any, mesh: Mesh,
                 axis: str = DATA_AXIS, eps: float = 1e-8,
                 mask: Optional[Any] = None):

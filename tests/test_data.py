@@ -448,6 +448,96 @@ class TestCCCNp:
             atol=1e-5)
 
 
+class TestDistributedCCC:
+    """Moment-sum reduction for pod-slice eval (round-5): sums from
+    disjoint row slices must recombine into the exact global CCC."""
+
+    def test_moment_sums_partition_exact(self):
+        rng = np.random.default_rng(3)
+        p = rng.standard_normal((37, 2))
+        y = 0.6 * p + 0.4 * rng.standard_normal((37, 2))
+        whole = eval_mod.ccc_np(p, y)
+        sums = (eval_mod.ccc_moment_sums(p[:20], y[:20])
+                + eval_mod.ccc_moment_sums(p[20:], y[20:]))
+        np.testing.assert_allclose(eval_mod.ccc_from_moment_sums(sums),
+                                   whole, atol=1e-9)
+
+    def test_empty_slice_is_identity(self):
+        rng = np.random.default_rng(4)
+        p = rng.standard_normal((11, 2))
+        y = rng.standard_normal((11, 2))
+        sums = (eval_mod.ccc_moment_sums(p, y)
+                + eval_mod.ccc_moment_sums(np.zeros((0, 2)),
+                                           np.zeros((0, 2))))
+        np.testing.assert_allclose(eval_mod.ccc_from_moment_sums(sums),
+                                   eval_mod.ccc_np(p, y), atol=1e-9)
+
+    def test_process_slice_disjoint_union(self):
+        items = [(i, f"src{i}") for i in range(7)]
+        a = list(eval_mod._process_slice(iter(items), 0, 2))
+        b = list(eval_mod._process_slice(iter(items), 1, 2))
+        assert not set(a) & set(b)
+        assert sorted(a + b) == items
+        # single process: identity passthrough
+        assert list(eval_mod._process_slice(iter(items), 0, 1)) == items
+        assert list(eval_mod._process_slice(iter(items), None,
+                                            None)) == items
+
+    def test_host_allgather_f64_single_process(self):
+        from mimamo_tpu import parallel
+        # a value whose f32 rounding loses bits — full f64 fidelity must
+        # survive (the (hi, lo) split contract)
+        x = np.array([1.0 + 1e-12, -3.7e8 + 0.125])
+        g = parallel.host_allgather_f64(x)
+        assert g.shape == (1, 2)
+        np.testing.assert_array_equal(g[0], x)
+
+    def test_evaluate_sliced_sums_match_full(self, tmp_path):
+        """Simulated 2-process eval IN one process: run evaluate_affwild2
+        once per process id (the allgather is a no-op single-process,
+        yielding LOCAL moment metrics), recombine the slices' raw
+        moment sums, and match the full single-process eval. Proves the
+        slicing + sums plumbing without a coordinator (the REAL
+        2-process CLI run lives in test_multiprocess.py)."""
+        import jax
+        from mimamo_tpu import train
+        from mimamo_tpu.runner import Mimamo
+        from test_runner import tiny_config
+        root = str(tmp_path / "aw2")
+        datasets.make_synthetic_affwild2(root, n_videos=3, frames=9,
+                                         size=32, seed=5)
+        cfg = tiny_config(clip_len=4, stride=2)
+        ds = datasets.AffWild2Dataset(root, clip=cfg.clip)
+        model = Mimamo(cfg)
+        state, _ = train.create_train_state(model, jax.random.PRNGKey(1))
+        variables = train.variables_from_state(state)
+        full = eval_mod.evaluate_affwild2(model, variables, ds, chunk=4,
+                                          batch_streams=2)
+        sums = np.zeros((6, 2))
+        for pid in range(2):
+            meta = {}
+
+            def items():
+                for vid, src, labels, mask in eval_mod._process_slice(
+                        ds.video_sources(), pid, 2):
+                    meta[vid] = (labels, mask)
+                    yield vid, src
+
+            preds, golds = [], []
+            for vid, series in eval_mod.stream_predict_many(
+                    model, variables, items(), chunk=4, batch_streams=2):
+                labels, mask = meta[vid]
+                valid = mask > 0
+                preds.append(series[valid])
+                golds.append(labels[valid])
+            sums += eval_mod.ccc_moment_sums(np.concatenate(preds),
+                                             np.concatenate(golds))
+        ccc = eval_mod.ccc_from_moment_sums(sums)
+        assert int(round(sums[0, 0])) == full["n_frames"]
+        np.testing.assert_allclose(ccc[0], full["valence_ccc"], atol=1e-6)
+        np.testing.assert_allclose(ccc[1], full["arousal_ccc"], atol=1e-6)
+
+
 class TestCLI:
     def test_train_then_eval_omg(self, tmp_path):
         """Full CLI loop on a synthetic corpus: train 2 epochs w/ orbax
