@@ -337,9 +337,14 @@ class AffWild2Dataset(_ClipDataset):
                 crops_dir = alt
         if videos is None:
             entries = os.listdir(crops_dir)
+            # .feat.npy appearance-feature sidecars live NEXT to the
+            # crop arrays (api.FeatureExtractor convention) — they are
+            # not videos (enumerating "vid.feat" crashed on its missing
+            # annotation file; caught by the round-5 overfit test)
             videos = sorted(
                 {os.path.splitext(f)[0] for f in entries
-                 if f.endswith(".npy")}
+                 if f.endswith(".npy")
+                 and not f.endswith(".feat.npy")}
                 | {f for f in entries
                    if os.path.isdir(os.path.join(crops_dir, f))})
         self.videos = list(videos)

@@ -9,6 +9,7 @@ import jax.numpy as jnp
 import pytest
 
 from mimamo_tpu import checkpoints, parallel, train
+from mimamo_tpu.data import datasets
 from mimamo_tpu.runner import Mimamo
 
 from test_runner import tiny_config
@@ -905,6 +906,125 @@ class TestTrainMetaOverlay:
             assert meta is not None, f"no backbone_meta.json in {d}"
             assert meta["channel_order"] == "bgr"
             np.testing.assert_allclose(meta["mean_rgb"], (1.0, 2.0, 3.0))
+
+
+class TestOverfit:
+    """Training must LEARN — reach CCC >= 0.9 on its own training data
+    — not merely reduce the loss, for BOTH loss_axis protocols (VERDICT
+    round-4 directive 7: the batch-axis + stratification path had no
+    end-to-end learning proof). Synthetic corpora are built so the
+    labels are a simple deterministic function of the cached appearance
+    features; crops are noise (the micro stream learns to ignore them).
+    Budget-boxed: tiny shapes, cached-feature path (the reference's own
+    workflow), bounded epochs."""
+
+    FEATURE_DIM = 2048      # tiny_config keeps the default feature_dim
+
+    def _direction(self, seed):
+        rng = np.random.default_rng(seed)
+        u = rng.standard_normal(self.FEATURE_DIM)
+        return (u / np.linalg.norm(u)).astype(np.float32)
+
+    def _train_until(self, ds, cfg, stratify, target=0.9,
+                     max_steps=400):
+        from mimamo_tpu.runner import Mimamo
+        model = Mimamo(cfg)
+        state, tx = train.create_train_state(
+            model, jax.random.PRNGKey(0))
+        step_fn = train.make_train_step(model, tx)
+        best, steps, epoch = -2.0, 0, 0
+        while steps < max_steps:
+            cccs = []
+            for batch in ds.batches(cfg.train.batch_size, shuffle=True,
+                                    seed=epoch, drop_remainder=True,
+                                    stratify=stratify):
+                assert "features" in batch, "sidecars must be picked up"
+                jb = {k: jnp.asarray(v) for k, v in batch.items()}
+                state, metrics = step_fn(state, jb)
+                cccs.append([float(metrics["ccc_v"]),
+                             float(metrics["ccc_a"])])
+                steps += 1
+            epoch += 1
+            m = np.asarray(cccs).mean(axis=0)
+            best = max(best, float(m.min()))
+            if m.min() >= target:
+                return steps, m
+        raise AssertionError(
+            f"no learning: CCC(v,a) never reached {target} in "
+            f"{max_steps} steps (best min-dim {best:.3f})")
+
+    def _cfg(self, lr=1e-2):
+        import dataclasses
+        from mimamo_tpu.config import TrainSpec
+        return dataclasses.replace(
+            tiny_config(clip_len=8, stride=8),
+            train=TrainSpec(learning_rate=lr, batch_size=4,
+                            loss_axis="time"))
+
+    def test_overfit_time_axis(self, tmp_path):
+        """Aff-Wild2 protocol: per-frame labels = linear ramp encoded in
+        the feature sidecar; frame-level CCC must exceed 0.9."""
+        import dataclasses
+        root = str(tmp_path / "aw2")
+        os.makedirs(os.path.join(root, "crops"))
+        os.makedirs(os.path.join(root, "annotations"))
+        rng = np.random.default_rng(0)
+        u = self._direction(1)
+        frames = 16
+        for v, slope in ((0, 1.0), (1, -1.0)):
+            r = slope * np.linspace(-1.0, 1.0, frames,
+                                    dtype=np.float32)
+            crops = rng.uniform(0, 255, (frames, 32, 32, 3)).astype(
+                np.uint8)
+            np.save(os.path.join(root, "crops", f"vid{v}.npy"), crops)
+            feats = (r[:, None] * u[None]
+                     + 0.01 * rng.standard_normal(
+                         (frames, self.FEATURE_DIM))).astype(np.float32)
+            np.save(os.path.join(root, "crops", f"vid{v}.feat.npy"),
+                    feats)
+            labels = np.stack([0.8 * r, -0.5 * r], axis=1)
+            with open(os.path.join(root, "annotations",
+                                   f"vid{v}.txt"), "w") as f:
+                f.write("valence,arousal\n" + "\n".join(
+                    f"{a:.6f},{b:.6f}" for a, b in labels) + "\n")
+        cfg = self._cfg()
+        ds = datasets.AffWild2Dataset(root, clip=cfg.clip)
+        steps, ccc = self._train_until(ds, cfg, stratify=False)
+        assert ccc.min() >= 0.9, (steps, ccc)
+
+    def test_overfit_batch_axis_stratified(self, tmp_path):
+        """OMG protocol: utterance-constant labels, CCC across the
+        stratified clip batch of time-averaged predictions >= 0.9."""
+        import dataclasses
+        from mimamo_tpu.config import TrainSpec
+        root = str(tmp_path / "omg")
+        os.makedirs(root)
+        rng = np.random.default_rng(2)
+        u, w = self._direction(3), self._direction(4)
+        labels = [(-0.8, -0.4), (-0.3, 0.2), (0.3, -0.2), (0.8, 0.6)]
+        rows = ["video,utterance,valence,arousal"]
+        vdir = os.path.join(root, "video0")
+        os.makedirs(vdir)
+        for i, (val, ar) in enumerate(labels):
+            crops = rng.uniform(0, 255, (8, 32, 32, 3)).astype(np.uint8)
+            np.save(os.path.join(vdir, f"utt{i}.npy"), crops)
+            # both label dims linearly encoded along independent
+            # feature directions — learnable, not memorization-hard
+            feats = (val * u[None] + ar * w[None]
+                     + 0.01 * rng.standard_normal(
+                         (8, self.FEATURE_DIM))).astype(np.float32)
+            np.save(os.path.join(vdir, f"utt{i}.feat.npy"), feats)
+            rows.append(f"video0,utt{i},{val},{ar}")
+        manifest = os.path.join(root, "manifest.csv")
+        with open(manifest, "w") as f:
+            f.write("\n".join(rows) + "\n")
+        cfg = dataclasses.replace(
+            self._cfg(), train=TrainSpec(learning_rate=1e-2,
+                                         batch_size=4,
+                                         loss_axis="batch"))
+        ds = datasets.OMGEmotionDataset(root, manifest, cfg.clip)
+        steps, ccc = self._train_until(ds, cfg, stratify=True)
+        assert ccc.min() >= 0.9, (steps, ccc)
 
 
 class TestCLIKnobs:
