@@ -130,7 +130,10 @@ def cmd_predict(args) -> int:
                       boxes_path=args.boxes,
                       max_frames=args.max_frames, align=args.align,
                       landmarks_path=args.landmarks,
-                      smooth=args.smooth, emotions=args.emotions)
+                      smooth=args.smooth, emotions=args.emotions,
+                      streaming_threshold=(
+                          None if args.streaming_threshold < 0
+                          else args.streaming_threshold))
     series, probs = out if args.emotions else (out, None)
     row = {"frames": len(series),
            "valence_mean": float(series[:, 0].mean()),
@@ -817,6 +820,13 @@ def main(argv: Optional[list] = None) -> int:
                         "probabilities (8 classes) from the backbone's "
                         "classifier head — free with converted "
                         "resnet50_ferplus_dag weights")
+    p.add_argument("--streaming-threshold", type=int, default=4096,
+                   help="frames past which the video switches to GRU "
+                        "carry streaming (O(threshold) crop memory "
+                        "regardless of length; slightly different "
+                        "series semantics than window overlap-"
+                        "averaging — see api.MimamoAPI.predict); "
+                        "-1 = never stream")
     _add_common(p)
     p.set_defaults(fn=cmd_predict)
 
