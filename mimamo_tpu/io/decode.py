@@ -459,20 +459,34 @@ def _eye_detector():
 
 
 class EyeTracker:
-    """Stateful per-frame eye landmark tracker (Haar eye cascade).
+    """Stateful per-frame eye landmark tracker (Haar eye cascade + LK).
 
-    Detection inside the upper half of each face box, hold-last on
-    failure; when no eyes were ever found the canonical in-box
-    positions are used (alignment then degenerates to the plain box
-    crop — same fallback policy as the box tracker).
-    :func:`eye_landmarks` is the array-at-once wrapper; the streaming
-    decode path feeds frames incrementally with identical output.
+    Detection inside the upper half of each face box, SANITY-GATED:
+    a candidate pair must have a plausible interocular distance
+    relative to the box and be roughly horizontal, which rejects the
+    eyebrow/nostril false pairs a bare two-largest-detections policy
+    accepts (round-4 VERDICT directive 3). Between detections the eye
+    POINTS follow sparse Lucas-Kanade flow (``track="lk"``, the
+    default — mirroring :class:`BoxTracker`'s policy; ``track="hold"``
+    restores the old hold-last behavior), with a per-frame gate on the
+    interocular-distance change so a flow failure degrades to hold-last
+    instead of dragging a point off the face. When no eyes were ever
+    found the canonical in-box positions are used (alignment then
+    degenerates to the plain box crop — same fallback policy as the box
+    tracker). :func:`eye_landmarks` is the array-at-once wrapper; the
+    streaming decode path feeds frames incrementally with identical
+    output.
     """
 
-    def __init__(self, detect_every: int = 8):
+    def __init__(self, detect_every: int = 8, track: str = "lk"):
+        if track not in ("lk", "hold"):
+            raise ValueError(f"track must be 'lk' or 'hold', got "
+                             f"{track!r}")
         self.det = _eye_detector()
         self.detect_every = detect_every
+        self.track = track
         self.last: Optional[np.ndarray] = None
+        self.prev_gray: Optional[np.ndarray] = None
         self.i = 0
 
     @staticmethod
@@ -481,35 +495,101 @@ class EyeTracker:
         return np.asarray([[y0 + 0.38 * bh, x0 + 0.22 * bw],
                            [y0 + 0.38 * bh, x0 + 0.78 * bw]], np.float32)
 
+    @staticmethod
+    def _plausible(pts: np.ndarray, box: np.ndarray) -> bool:
+        """Eye-pair sanity gate: interocular distance 15–80% of the box
+        width and the pair within 30 degrees of horizontal."""
+        d = pts[1] - pts[0]
+        dist = float(np.hypot(d[0], d[1]))
+        bw = float(box[3])
+        return (0.15 * bw <= dist <= 0.8 * bw
+                and abs(float(d[0])) <= 0.5 * dist)
+
+    def _detect(self, gray: np.ndarray, box: np.ndarray
+                ) -> Optional[np.ndarray]:
+        y0, x0, bh, bw = box.astype(int)
+        roi = gray[max(y0, 0):y0 + bh // 2, max(x0, 0):x0 + bw]
+        if not roi.size:
+            return None
+        found = self.det.detectMultiScale(roi, 1.1, 3)
+        if len(found) < 2:
+            return None
+        # consider pairs among the top-4 detections by area (largest-
+        # area-sum first) and take the first that passes the gate — the
+        # two biggest boxes are often an eyebrow + one eye
+        found = sorted(found, key=lambda r: -r[2] * r[3])[:4]
+        ry0, rx0 = max(y0, 0), max(x0, 0)
+        centers = [(ry0 + fy + fh / 2.0, rx0 + fx + fw / 2.0)
+                   for fx, fy, fw, fh in found]
+        pairs = sorted(
+            ((a, b) for a in range(len(found))
+             for b in range(a + 1, len(found))),
+            key=lambda ab: -(found[ab[0]][2] * found[ab[0]][3]
+                             + found[ab[1]][2] * found[ab[1]][3]))
+        for a, b in pairs:
+            pts = np.asarray(sorted((centers[a], centers[b]),
+                                    key=lambda p: p[1]), np.float32)
+            if self._plausible(pts, box):
+                return pts
+        return None
+
+    def _lk_points(self, gray: np.ndarray) -> Optional[np.ndarray]:
+        pts_xy = self.last[:, ::-1].reshape(-1, 1, 2).astype(np.float32)
+        nxt, ok, _err = cv2.calcOpticalFlowPyrLK(
+            self.prev_gray, gray, pts_xy, None, winSize=(21, 21),
+            maxLevel=3)
+        if not ok.reshape(-1).astype(bool).all():
+            return None
+        new = nxt.reshape(-1, 2)[:, ::-1].astype(np.float32)
+        # per-frame gates — a point that slid off the face (or a flow
+        # "success" on unrelated content) fails here and we hold:
+        # interocular distance must not jump, and neither point may
+        # move more than half the interocular distance in one frame
+        # (far above real per-frame head motion)
+        d0 = float(np.hypot(*(self.last[1] - self.last[0])))
+        d1 = float(np.hypot(*(new[1] - new[0])))
+        if not (0.8 * d0 <= d1 <= 1.25 * d0):
+            return None
+        step = np.hypot(*(new - self.last).T).max()
+        if step > 0.5 * d0:
+            return None
+        return new
+
     def update(self, frame_rgb: np.ndarray, box: np.ndarray) -> np.ndarray:
-        if self.det is not None and self.i % self.detect_every == 0:
-            y0, x0, bh, bw = box.astype(int)
-            roi = frame_rgb[y0:y0 + bh // 2, x0:x0 + bw]
-            if roi.size:
-                gray = cv2.cvtColor(roi, cv2.COLOR_RGB2GRAY)
-                found = self.det.detectMultiScale(gray, 1.1, 3)
-                if len(found) >= 2:
-                    found = sorted(found, key=lambda r: -r[2] * r[3])[:2]
-                    pts = sorted(
-                        ((y0 + fy + fh / 2.0, x0 + fx + fw / 2.0)
-                         for fx, fy, fw, fh in found),
-                        key=lambda p: p[1])
-                    self.last = np.asarray(pts, np.float32)
+        detect_now = (self.det is not None
+                      and self.i % self.detect_every == 0)
+        need_gray = self.track == "lk" or detect_now
+        gray = (cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2GRAY)
+                if need_gray else None)
+        detected = False
+        if detect_now:
+            pts = self._detect(gray, box)
+            if pts is not None:
+                self.last = pts
+                detected = True
+        if (self.track == "lk" and not detected
+                and self.last is not None
+                and self.prev_gray is not None):
+            moved = self._lk_points(gray)
+            if moved is not None:
+                self.last = moved
+        self.prev_gray = gray if self.track == "lk" else None
         self.i += 1
         return (self.last if self.last is not None
                 else self._canonical(box))
 
 
 def eye_landmarks(frames_rgb: np.ndarray, boxes: np.ndarray,
-                  detect_every: int = 8) -> np.ndarray:
+                  detect_every: int = 8, track: str = "lk") -> np.ndarray:
     """Per-frame ((left_y, left_x), (right_y, right_x)) eye landmarks.
 
     The landmark *interface* is the contract: precomputed landmarks
     from a stronger tracker can be passed straight to
     preprocess.similarity_from_eyes. See :class:`EyeTracker` for the
-    tracking policy.
+    tracking policy (``track="lk"`` default, ``"hold"`` = the old
+    hold-last-between-detections behavior).
     """
-    tracker = EyeTracker(detect_every=detect_every)
+    tracker = EyeTracker(detect_every=detect_every, track=track)
     return np.stack([tracker.update(f, b)
                      for f, b in zip(frames_rgb, boxes)])
 

@@ -28,7 +28,7 @@ def _cascade_xml(name: str = "haarcascade_frontalface_default.xml") -> str:
     return decode.find_cascade_xml(name) or ""
 
 
-_ABI_VERSION = 8
+_ABI_VERSION = 9
 
 
 def _load_lib() -> Optional[ctypes.CDLL]:
@@ -65,6 +65,7 @@ def _load_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float)]
         lib.ml_detect.restype = ctypes.c_int
@@ -214,7 +215,8 @@ class NativeCorpusLoader:
 
 def decode_video_native(path: str, crop: int, max_frames: int = 100000,
                         detect_every: int = 8, track: str = "lk",
-                        align: bool = False
+                        align: bool = False,
+                        init_eyes: Optional[np.ndarray] = None
                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Single video -> ([T, crop, crop, 3] uint8 crops, [T, 4] boxes,
     [T, 2, 2] eye landmarks).
@@ -223,20 +225,29 @@ def decode_video_native(path: str, crop: int, max_frames: int = 100000,
     pixels — the same contract as precomputed ``<video>.landmarks.npy``
     files and ``decode.eye_landmarks``, so the native tracker and any
     stronger external tracker feed the identical alignment path
-    (preprocess.similarity_from_eyes).
+    (preprocess.similarity_from_eyes). ``init_eyes`` ([2, 2] first-
+    frame eye points, same layout) seeds the eye tracker — for callers
+    with known starting landmarks, and how the gt-init tests drive the
+    eye LK stage.
     """
     if _LIB is None:
         raise RuntimeError("native loader not built; run `make -C native`")
     out = np.empty((max_frames, crop, crop, 3), np.uint8)
     boxes = np.empty((max_frames, 4), np.float32)
     eyes = np.empty((max_frames, 4), np.float32)
+    seed = None
+    if init_eyes is not None:
+        seed = np.ascontiguousarray(
+            np.asarray(init_eyes, np.float32).reshape(4))
     n = _LIB.ml_decode_video(
         path.encode(), crop, _cascade_xml().encode(),
         _cascade_xml("haarcascade_eye.xml").encode(), detect_every,
         1 if track == "lk" else 0, 1 if align else 0,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), max_frames,
         boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        eyes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        eyes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        None if seed is None else
+        seed.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     if n < 0:
         raise FileNotFoundError(f"cannot open video: {path}")
     if n == 0:

@@ -58,6 +58,105 @@ class TestSyntheticTracker:
         assert hold["mean_iou"] < lk["mean_iou"]
 
 
+class TestEyeTracking:
+    """Round-4 VERDICT directive 3: eye landmarks must FOLLOW the face
+    between Haar detections (LK point flow) instead of holding last,
+    and detections must pass a sanity gate. The Haar EYE cascade cannot
+    fire on procedural faces (verified 64-160 px), so — like the
+    lk-only box modes — LK quality is measured from gt init and the
+    detection gate is unit-tested with mocked detections."""
+
+    def test_eye_lk_tracks_moving_eyes_from_gt_init(self):
+        frames, gt, gt_eyes = tracker_eval.render_clip(
+            t=24, motion="sine", speed=2.0)
+        lk = tracker_eval.evaluate_eyes(frames, gt, gt_eyes, "lk")
+        hold = tracker_eval.evaluate_eyes(frames, gt, gt_eyes, "hold")
+        assert lk["eye_err_px"] < 1.0, (lk, hold)
+        assert hold["eye_err_px"] > 5.0, (lk, hold)
+        # the metric that matters: alignment error in OUTPUT-CROP px
+        assert lk["warp_err_croppx"] < 3.0, (lk, hold)
+        assert hold["warp_err_croppx"] > 20.0, (lk, hold)
+
+    def test_eye_lk_handles_zoom_unlike_box_shift(self):
+        """Point flow tracks each eye independently, so interocular
+        distance scales with the face — the box LK's median-shift
+        cannot rescale (its documented zoom weakness)."""
+        frames, gt, gt_eyes = tracker_eval.render_clip(
+            t=24, motion="scale", speed=0.5)
+        lk = tracker_eval.evaluate_eyes(frames, gt, gt_eyes, "lk")
+        assert lk["eye_err_px"] < 1.5, lk
+        assert lk["warp_err_croppx"] < 5.0, lk
+
+    def test_pair_sanity_gate(self):
+        """_plausible rejects vertical pairs (eyebrow+eye), too-narrow
+        and too-wide pairs; accepts a realistic pair."""
+        box = np.asarray([10, 10, 100, 100], np.float32)
+        ok = np.asarray([[40, 30], [42, 70]], np.float32)
+        assert decode.EyeTracker._plausible(ok, box)
+        vertical = np.asarray([[20, 50], [60, 52]], np.float32)
+        assert not decode.EyeTracker._plausible(vertical, box)
+        narrow = np.asarray([[40, 50], [40, 58]], np.float32)
+        assert not decode.EyeTracker._plausible(narrow, box)
+        wide = np.asarray([[40, 12], [40, 108]], np.float32)
+        assert not decode.EyeTracker._plausible(wide, box)
+
+    def test_detection_pair_search_skips_implausible(self):
+        """With a mocked detector returning eyebrow + two eyes, the
+        pair search must pick the plausible eye pair, not the two
+        largest rects (the old policy's failure mode)."""
+        tr = decode.EyeTracker(track="hold")
+
+        class FakeDet:
+            def detectMultiScale(self, roi, *a, **k):
+                # (x, y, w, h): a huge eyebrow band, then two eyes
+                return np.asarray([[10, 5, 60, 12],      # eyebrow
+                                   [15, 25, 18, 12],     # left eye
+                                   [55, 25, 18, 12]])    # right eye
+
+        tr.det = FakeDet()
+        box = np.asarray([0, 0, 100, 90], np.float32)
+        frame = np.zeros((100, 90, 3), np.uint8)
+        pts = tr.update(frame, box)
+        # eyebrow+eye pairs fail the gate (vertical / eyebrow-centered);
+        # the eye+eye pair survives: centers (31, 24) and (31, 64)
+        np.testing.assert_allclose(pts, [[31, 24], [31, 64]], atol=1e-5)
+
+    def test_lk_distance_jump_degrades_to_hold(self):
+        """A flow failure (here: the second frame is noise, so LK
+        either fails or jumps the interocular distance) must hold the
+        last landmarks rather than emit a dragged point."""
+        rng = np.random.default_rng(0)
+        frames, gt, gt_eyes = tracker_eval.render_clip(
+            t=2, motion="translate", speed=0.0)
+        tr = decode.EyeTracker(track="lk")
+        tr.det = None
+        tr.last = gt_eyes[0].copy()
+        first = tr.update(frames[0], gt[0])
+        noise = rng.integers(0, 255, frames[1].shape).astype(np.uint8)
+        second = tr.update(noise, gt[1])
+        np.testing.assert_allclose(second, first, atol=3.0)
+
+    @pytest.mark.skipif(not native_loader.available(),
+                        reason="libmimamo_native.so not built")
+    def test_native_eye_lk_tracks_from_seed(self, tmp_path):
+        """The C++ mirror (ABI 9): seeded with the first frame's gt
+        eyes, the native eye tracker follows the moving face through
+        the real video path; hold mode keeps the seed and drifts."""
+        frames, gt, gt_eyes = tracker_eval.render_clip(
+            t=24, motion="sine", speed=2.0)
+        path = str(tmp_path / "eyes.mp4")
+        decode.write_video(path, frames)
+        errs = {}
+        for track in ("lk", "hold"):
+            _c, _b, eyes = native_loader.decode_video_native(
+                path, 48, track=track, init_eyes=gt_eyes[0])
+            assert eyes.shape == (24, 2, 2)
+            errs[track] = float(np.abs(eyes - gt_eyes).mean())
+        assert errs["lk"] < 2.0, errs
+        assert errs["hold"] > 5.0, errs
+        assert errs["lk"] < errs["hold"] / 3, errs
+
+
 @pytest.mark.skipif(not native_loader.available(),
                     reason="libmimamo_native.so not built")
 class TestNativeCascade:
