@@ -24,6 +24,23 @@ BASELINE_FPS = 2000.0  # north-star: >=2,000 frames/sec/chip on v5e
 EXPECTED_LOW_FPS = 9000.0
 
 
+def want_another_pass(passes, forced_passes, max_passes, band_applies,
+                      low_fps=EXPECTED_LOW_FPS):
+    """Decide whether to run measurement pass ``len(passes)``.
+
+    Two reasons: the caller forced more passes (``--passes``), or the
+    band guard fired — default TPU parity config AND the best pass so
+    far sits >10% under the recorded band's low edge (the round-4
+    driver-capture failure mode: one cold fresh-process pass became
+    the scoreboard number). Unit-tested in tests/test_train.py.
+    """
+    p = len(passes)
+    if p < forced_passes:
+        return True
+    return (band_applies and p < max(forced_passes, max_passes)
+            and max(passes) < 0.9 * low_fps)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8, help="clips per step")
@@ -184,10 +201,9 @@ def main():
                   "streams", "appearance_stride", "layer2_mode",
                   "stem_mode", "fft_mode", "use_pallas"))
     passes = [measure(0)]
-    p = 1
-    while ((p < args.passes)
-           or (band_applies and p < max(args.passes, args.max_passes)
-               and max(passes) < 0.9 * EXPECTED_LOW_FPS)):
+    while want_another_pass(passes, args.passes, args.max_passes,
+                            band_applies):
+        p = len(passes)
         print(f"[bench] pass {p - 1}: {passes[-1]:.1f} f/s"
               + ("" if not band_applies or
                  max(passes) >= 0.9 * EXPECTED_LOW_FPS else
@@ -195,7 +211,6 @@ def main():
                  f"{EXPECTED_LOW_FPS:.0f}; auto-repeating)"),
               file=sys.stderr, flush=True)
         passes.append(measure(p))
-        p += 1
 
     fps = max(passes)
     row = {

@@ -6,7 +6,8 @@ THE protocol (verified empirically on the axon TPU tunnel; CLAUDE.md):
     salts (``salt + 17*i``) — distinct salts defeat both CSE inside
     the program and the tunnel's identical-arg execution cache, and
     chaining sheds the ~30 ms per-dispatch fetch floor;
-  * one warm call (salt 999) compiles + first-executes;
+  * one warm call (NEGATIVE salt, disjoint from the timed 0..iters-1
+    range) compiles + first-executes;
   * the timed loop runs a DEPTH-2 pipeline: dispatch iteration j,
     then block on iteration j-1's scalar — one execution in flight
     while one is fetched, never more (>2 outstanding wedges the

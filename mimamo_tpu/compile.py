@@ -16,6 +16,14 @@ the measured verdict on the one candidate found so far (BASELINE.md
   (``tuned_jit(fn, tpu_options={...})``) or globally
   (:data:`TPU_COMPILER_OPTIONS`) for chained-regime deployments.
 
+Round-5 decision (VERDICT r4 directive 8): the empty default is
+FINAL for this codebase. No shipped entry point runs the chained
+regime — serve, predict, corpus, and streaming all dispatch one
+program application per host round-trip, the regime where the option
+was measured unresolvable (8 interleaved runs, 9,026–9,582 f/s). A
+deployment that chains >=~6 applications per dispatch should set the
+global; docs/SERVING.md carries the user-facing row.
+
 Two constraints force the lazy shape of this wrapper:
   * ``compiler_options`` must only reach the TPU compiler — CPU/GPU
     reject unknown TPU options; and

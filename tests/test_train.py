@@ -1101,6 +1101,39 @@ class TestCLIKnobs:
             TrainSpec(weight_decay=-1.0)
 
 
+class TestBenchAutoRepeat:
+    """bench.py's pass-repeat guard (round-5: the scoreboard's defense
+    against the r4 driver-capture failure mode — one cold fresh-process
+    pass becoming the recorded number). Pure-logic unit; the import
+    resolves to bench.py (module beats the bench/ namespace dir)."""
+
+    def test_band_guard_repeats_low_first_pass(self):
+        import bench
+        low = bench.EXPECTED_LOW_FPS
+        # cold first pass well under 90% of the band low edge
+        assert bench.want_another_pass([0.5 * low], 1, 3, True)
+        # recovered second pass: stop
+        assert not bench.want_another_pass([0.5 * low, low], 1, 3, True)
+        # still low after max_passes: stop (no infinite repeats)
+        assert not bench.want_another_pass([0.5 * low] * 3, 1, 3, True)
+
+    def test_band_guard_only_for_default_tpu_config(self):
+        import bench
+        assert not bench.want_another_pass([1.0], 1, 3, False)
+
+    def test_forced_passes_run_regardless_of_band(self):
+        import bench
+        assert bench.want_another_pass([1e9], 2, 3, False)
+        assert not bench.want_another_pass([1e9, 1e9], 2, 3, False)
+        # band guard may extend beyond --passes when still low
+        assert bench.want_another_pass([1.0, 1.0], 2, 3, True)
+
+    def test_healthy_first_pass_single(self):
+        import bench
+        assert not bench.want_another_pass(
+            [bench.EXPECTED_LOW_FPS * 1.05], 1, 3, True)
+
+
 class _TorchMicroCNN:
     """torch mirror of temporal.MicroCNN, built lazily (import guard)."""
 
