@@ -78,16 +78,25 @@ def _iter_crop_chunks(model, video_path: str,
                     f"boxes file: {len(boxes_file)} rows but the "
                     f"video has at least {start + n} frames")
             boxes = boxes_file[start:start + n]
-        elif want_boxes or not (align and lm_src is not None):
+        lm = None
+        if boxes is None and (want_boxes
+                              or not (align and lm_src is not None)):
             if tracker is None:
                 tracker = decode.BoxTracker(frames.shape[1],
                                             frames.shape[2])
-            boxes = np.stack([tracker.update(f) for f in frames])
-        lm = None
+            if align and lm_src is None:
+                # both trackers run on this window: share ONE gray
+                # conversion per frame (round-5 review finding)
+                if eyes is None:
+                    eyes = decode.EyeTracker()
+                boxes, lm = decode.track_boxes_and_eyes(frames, tracker,
+                                                        eyes)
+            else:
+                boxes = np.stack([tracker.update(f) for f in frames])
         if align:
             if lm_src is not None:
                 lm = lm_src.read(start, n)
-            else:
+            elif lm is None:       # boxes came from a sidecar file
                 if eyes is None:
                     eyes = decode.EyeTracker()
                 lm = np.stack([eyes.update(f, b)
@@ -417,7 +426,12 @@ class MimamoAPI:
             p = _dp.dispatch(self.model.predict_stream, self.variables,
                              jnp.asarray(piece)[None], carries)
             out, carries = p.value
-            outs.append(p.fetch(out[0, :n]))
+            # fetch the WHOLE tiny [1, window, 2] output and slice on
+            # host: an eager device slice `out[0, :n]` would be a
+            # distinct remote-compiled program per unique tail length
+            # AND an execution outside the in-flight cap (the round-4
+            # eager-slice bug class; same pattern as predict_from_crops)
+            outs.append(np.asarray(p.fetch(out))[0, :n])
             if emotions:
                 probs.append(self._classify_crops(piece[:n]))
         return (np.concatenate(outs),

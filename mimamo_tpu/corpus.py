@@ -387,7 +387,7 @@ class CorpusRunner:
         for frames, start in decode.iter_video(path,
                                                window=decode_window):
             n = frames.shape[0]
-            boxes = None
+            boxes = lm = None
             if boxes_file is not None:
                 if len(boxes_file) < start + n:
                     raise ValueError(
@@ -398,11 +398,21 @@ class CorpusRunner:
                 if tracker is None:
                     tracker = decode.BoxTracker(frames.shape[1],
                                                 frames.shape[2])
-                boxes = np.stack([tracker.update(f) for f in frames])
+                if self.align:
+                    # both trackers run: share ONE gray conversion per
+                    # frame (round-5 review finding; api._iter_crop_chunks
+                    # uses the same fused helper)
+                    if eyes is None:
+                        eyes = decode.EyeTracker()
+                    boxes, lm = decode.track_boxes_and_eyes(
+                        frames, tracker, eyes)
+                else:
+                    boxes = np.stack([tracker.update(f)
+                                      for f in frames])
             if self.align:
                 if lm_src is not None:
                     lm = lm_src.read(start, n)
-                else:
+                elif lm is None:   # boxes came from a sidecar file
                     if eyes is None:
                         eyes = decode.EyeTracker()
                     lm = np.stack([eyes.update(f, b)

@@ -111,8 +111,19 @@ class CropSource:
 
     def read(self, start: int, count: int) -> np.ndarray:
         if self.kind == "npy":
-            return np.asarray(open_npy_mmap(self.path)[
-                start:start + count])
+            arr = open_npy_mmap(self.path)
+            if int(arr.shape[0]) != self._len:
+                # the LRU re-resolves by (mtime, size), so a sidecar
+                # rewritten mid-run WOULD be served against the clip
+                # windows built from the old length — numpy slicing
+                # past the new end silently returns fewer rows and
+                # fails deep inside train/eval as an opaque shape
+                # error. Fail fast instead (round-5 review finding).
+                raise RuntimeError(
+                    f"{self.path}: source changed length "
+                    f"{self._len} -> {int(arr.shape[0])} after dataset "
+                    f"construction; rebuild the dataset")
+            return np.asarray(arr[start:start + count])
         return self._decode.read_frame_images(
             self.path, self._names[start:start + count], self.crop_size)
 
@@ -266,7 +277,17 @@ class _ClipDataset:
         # bounded process-wide mmap LRU (see open_npy_mmap) — one fd
         # per HOT source, not one per source forever
         arr = open_npy_mmap(self._features[ci.source])
-        return np.asarray(arr[ci.start:ci.start + self.clip.clip_len])
+        out = np.asarray(arr[ci.start:ci.start + self.clip.clip_len])
+        if len(out) != self.clip.clip_len:
+            # same fail-fast as CropSource.read: a feature sidecar
+            # rewritten shorter mid-run must not surface as an opaque
+            # ragged-batch shape error downstream
+            raise RuntimeError(
+                f"{self._features[ci.source]}: short read "
+                f"({len(out)} < {self.clip.clip_len} rows at "
+                f"{ci.start}) — source changed after dataset "
+                f"construction; rebuild the dataset")
+        return out
 
 
 class OMGEmotionDataset(_ClipDataset):

@@ -73,6 +73,13 @@ def _process_slice(it, process_id: Optional[int],
     if not process_count or process_count == 1:
         yield from it
         return
+    if process_id is None or not 0 <= process_id < process_count:
+        # `j % process_count == None` is silently False for every item
+        # — the process would stream NOTHING and report a plausible-
+        # looking ccc=0 instead of an error (round-5 review finding)
+        raise ValueError(
+            f"process_count={process_count} requires process_id in "
+            f"[0, {process_count}), got {process_id!r}")
     for j, item in enumerate(it):
         if j % process_count == process_id:
             yield item

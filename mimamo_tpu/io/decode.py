@@ -364,14 +364,17 @@ class BoxTracker:
         self.prev_gray: Optional[np.ndarray] = None
         self.i = 0
 
-    def update(self, frame_rgb: np.ndarray) -> np.ndarray:
+    def update(self, frame_rgb: np.ndarray,
+               gray: Optional[np.ndarray] = None) -> np.ndarray:
         h, w, det, i = self.h, self.w, self.det, self.i
         # hold mode only needs gray on detection frames; lk needs every
-        # frame for the flow pyramid.
+        # frame for the flow pyramid. A caller driving BOTH this and an
+        # EyeTracker passes the frame's gray plane once (the native
+        # loader shares it the same way — round-5 review finding).
         need_gray = (self.track == "lk"
                      or (det is not None and i % self.detect_every == 0))
-        gray = (cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2GRAY)
-                if need_gray else None)
+        if gray is None and need_gray:
+            gray = cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2GRAY)
         detected = False
         if det is not None and i % self.detect_every == 0:
             m = min(h, w) // 8  # cv2 Size is (width, height); use min side
@@ -555,12 +558,15 @@ class EyeTracker:
             return None
         return new
 
-    def update(self, frame_rgb: np.ndarray, box: np.ndarray) -> np.ndarray:
+    def update(self, frame_rgb: np.ndarray, box: np.ndarray,
+               gray: Optional[np.ndarray] = None) -> np.ndarray:
         detect_now = (self.det is not None
                       and self.i % self.detect_every == 0)
         need_gray = self.track == "lk" or detect_now
-        gray = (cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2GRAY)
-                if need_gray else None)
+        if gray is None and need_gray:
+            # callers that also run a BoxTracker on the same frame
+            # should pass its gray plane instead (track_boxes_and_eyes)
+            gray = cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2GRAY)
         detected = False
         if detect_now:
             pts = self._detect(gray, box)
@@ -592,6 +598,32 @@ def eye_landmarks(frames_rgb: np.ndarray, boxes: np.ndarray,
     tracker = EyeTracker(detect_every=detect_every, track=track)
     return np.stack([tracker.update(f, b)
                      for f, b in zip(frames_rgb, boxes)])
+
+
+def track_boxes_and_eyes(frames_rgb: np.ndarray, tracker: "BoxTracker",
+                         eyes: "EyeTracker"):
+    """Run box + eye tracking over a frame window with ONE grayscale
+    conversion per frame shared by both trackers.
+
+    Running the two trackers in separate passes converts every source
+    frame to gray twice (both default to LK, which needs gray per
+    frame) — a measurable cost on the 1-core decode-bound host; the
+    native C++ loader shares the plane the same way (round-5 review
+    finding). When BOTH trackers are in hold mode, gray is only needed
+    on detection frames, so each tracker keeps its own lazy conversion.
+
+    Returns (boxes [T, 4], landmarks [T, 2, 2]) float32. Output is
+    identical to the two-pass form (tested): each tracker sees exactly
+    the gray plane it would have computed itself.
+    """
+    share = tracker.track == "lk" or eyes.track == "lk"
+    boxes_l, lm_l = [], []
+    for f in frames_rgb:
+        g = cv2.cvtColor(f, cv2.COLOR_RGB2GRAY) if share else None
+        b = tracker.update(f, gray=g)
+        boxes_l.append(b)
+        lm_l.append(eyes.update(f, b, gray=g))
+    return np.stack(boxes_l), np.stack(lm_l)
 
 
 def load_landmarks(video_path: str, t: int,

@@ -129,20 +129,22 @@ def host_allgather_f64(x: np.ndarray) -> np.ndarray:
     sums and every process returns the full stack.
     ``multihost_utils.process_allgather`` moves values through the
     devices, which silently downcast float64 while x64 is disabled, so
-    the value is split into an exact (hi, lo) float32 pair and
-    recombined in float64 after the gather — moment sums keep full
-    fidelity. Single process: returns ``x[None]`` without touching a
-    device. Multi-process: a COLLECTIVE — every process must call it.
+    the float64 payload is gathered as its raw uint32 bit pattern
+    (integers transfer exactly; same little-endian layout on every
+    host) and reinterpreted after the gather — BIT-exact, unlike a
+    (hi, lo) float32 split, which carries only ~48 mantissa bits
+    (round-5 review finding). Single process: returns ``x[None]``
+    without touching a device. Multi-process: a COLLECTIVE — every
+    process must call it.
     """
-    x = np.asarray(x, np.float64)
+    x = np.ascontiguousarray(np.atleast_1d(x), np.float64)
     if jax.process_count() == 1:
         return x[None]
     from jax.experimental import multihost_utils
-    hi = x.astype(np.float32)
-    lo = (x - hi).astype(np.float32)
-    g = np.asarray(multihost_utils.process_allgather(
-        np.stack([hi, lo])), np.float64)
-    return g[:, 0] + g[:, 1]
+    bits = x.view(np.uint32)     # [..., 2*D] on the last axis
+    g = np.ascontiguousarray(
+        np.asarray(multihost_utils.process_allgather(bits), np.uint32))
+    return g.view(np.float64)
 
 
 def sharded_ccc(preds: Any, golds: Any, mesh: Mesh,

@@ -528,6 +528,12 @@ class Mimamo:
 
         Shards the clip batch over ``mesh`` (default: all devices) with
         replicated params; the same jitted program serves 1..N chips.
+
+        Contract: the replicated weights are cached by the IDENTITY of
+        ``variables`` (see `_replicated_for`) — mutating leaves of the
+        same dict in place between calls would silently serve the old
+        weights. Pass a fresh dict (e.g. a new `variables_from_state`
+        result, as every in-repo caller does) after updating params.
         """
         mesh = mesh or parallel.make_mesh()
         n = mesh.devices.size

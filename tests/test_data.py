@@ -419,6 +419,22 @@ class TestImageDirLayout:
         with np.testing.assert_raises(FileNotFoundError):
             datasets.CropSource(str(tmp_path / "nope.npy"))
 
+    def test_rewritten_source_fails_fast(self, tmp_path):
+        """A packed .npy rewritten SHORTER after dataset construction
+        must raise on read, not silently return fewer rows (round-5
+        review finding: the mtime-keyed mmap LRU re-resolves the file,
+        but clip windows were built from the old length)."""
+        path = str(tmp_path / "crops.npy")
+        np.save(path, np.zeros((12, 16, 16, 3), np.uint8))
+        src = datasets.CropSource(path, crop_size=16)
+        assert len(src) == 12
+        np.save(path, np.zeros((4, 16, 16, 3), np.uint8))
+        # force a distinct mtime even on coarse-resolution filesystems
+        st = os.stat(path)
+        os.utime(path, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+        with pytest.raises(RuntimeError, match="changed length"):
+            src.read(0, 8)
+
 
 class TestSmoothing:
     def test_moving_average_properties(self):
@@ -483,13 +499,24 @@ class TestDistributedCCC:
         assert list(eval_mod._process_slice(iter(items), None,
                                             None)) == items
 
+    def test_process_slice_rejects_missing_process_id(self):
+        """process_count > 1 with process_id=None must raise, not
+        silently stream nothing (round-5 review finding: `j % n ==
+        None` is False for every item -> plausible-looking ccc=0)."""
+        items = [(i, f"src{i}") for i in range(3)]
+        with pytest.raises(ValueError, match="process_id"):
+            list(eval_mod._process_slice(iter(items), None, 4))
+        with pytest.raises(ValueError, match="process_id"):
+            list(eval_mod._process_slice(iter(items), 4, 4))
+
     def test_host_allgather_f64_single_process(self):
         from mimamo_tpu import parallel
-        # a value whose f32 rounding loses bits — full f64 fidelity must
-        # survive (the (hi, lo) split contract)
-        x = np.array([1.0 + 1e-12, -3.7e8 + 0.125])
+        # values whose f32 rounding loses bits — full f64 fidelity must
+        # survive (the uint32 bit-view gather contract; 1 + 2^-52 needs
+        # all 52 mantissa bits, beyond any (hi, lo) f32 split)
+        x = np.array([1.0 + 1e-12, -3.7e8 + 0.125, 1.0 + 2.0 ** -52])
         g = parallel.host_allgather_f64(x)
-        assert g.shape == (1, 2)
+        assert g.shape == (1, 3)
         np.testing.assert_array_equal(g[0], x)
 
     def test_evaluate_sliced_sums_match_full(self, tmp_path):

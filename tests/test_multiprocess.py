@@ -172,7 +172,17 @@ def test_two_process_cli_eval_matches_single(tmp_path):
                             f"{err.splitlines()[-1][:200]}")
             raise AssertionError(f"eval worker failed (rc={rc}):"
                                  f"\n{err[-3000:]}")
-    rows = [json.loads(out.splitlines()[-1]) for _rc, out, _e in outs]
+    def last_json(out):
+        # the runtime's CPU collective may log ("[Gloo] Rank 0 is
+        # connected ...") to STDOUT asynchronously, possibly AFTER the
+        # metrics line — take the last line that is JSON, not the last
+        # line (round-5: first seen with the uint32 bit-view gather)
+        for line in reversed(out.splitlines()):
+            if line.lstrip().startswith("{"):
+                return json.loads(line)
+        raise AssertionError(f"no JSON line in worker stdout:\n{out}")
+
+    rows = [last_json(out) for _rc, out, _e in outs]
     # the allgathered moment sums make every process's metrics identical
     assert rows[0] == rows[1]
     # exact frame accounting across the disjoint slices

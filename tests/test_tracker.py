@@ -136,6 +136,46 @@ class TestEyeTracking:
         second = tr.update(noise, gt[1])
         np.testing.assert_allclose(second, first, atol=3.0)
 
+    def test_fused_tracking_matches_two_pass(self, monkeypatch):
+        """decode.track_boxes_and_eyes (shared gray plane) must be
+        bit-identical to running the two trackers in separate passes,
+        and must convert each frame to gray exactly ONCE (round-5
+        review finding: the two-pass form paid two full-frame
+        cvtColor calls per frame on the 1-core decode-bound host)."""
+        frames, gt, gt_eyes = tracker_eval.render_clip(
+            t=12, motion="sine", speed=2.0)
+        h, w = frames.shape[1:3]
+
+        def seeded(cls, *a, **k):
+            tr = cls(*a, **k)
+            if isinstance(tr, decode.EyeTracker):
+                tr.last = gt_eyes[0].copy()
+            return tr
+
+        # two-pass reference
+        bt = seeded(decode.BoxTracker, h, w)
+        et = seeded(decode.EyeTracker)
+        boxes_ref = np.stack([bt.update(f) for f in frames])
+        lm_ref = np.stack([et.update(f, b)
+                           for f, b in zip(frames, boxes_ref)])
+        # fused, with a conversion counter
+        import cv2 as _cv2
+        calls = []
+        real = _cv2.cvtColor
+
+        def counting(src, code, *a, **k):
+            if code == _cv2.COLOR_RGB2GRAY:
+                calls.append(1)
+            return real(src, code, *a, **k)
+
+        monkeypatch.setattr(decode.cv2, "cvtColor", counting)
+        bt2 = seeded(decode.BoxTracker, h, w)
+        et2 = seeded(decode.EyeTracker)
+        boxes, lm = decode.track_boxes_and_eyes(frames, bt2, et2)
+        np.testing.assert_array_equal(boxes, boxes_ref)
+        np.testing.assert_array_equal(lm, lm_ref)
+        assert len(calls) == len(frames), len(calls)
+
     @pytest.mark.skipif(not native_loader.available(),
                         reason="libmimamo_native.so not built")
     def test_native_eye_lk_tracks_from_seed(self, tmp_path):
