@@ -355,15 +355,65 @@ class MimamoAPI:
             # validate before decode + inference are spent
             raise ValueError(f"smooth window must be odd, got {smooth}")
         align = align or bool(landmarks_path)
-        chunks = _iter_crop_chunks(
+        chunks = (c for c, _b, _l in _iter_crop_chunks(
             self.model, video_path, boxes_path=boxes_path,
             max_frames=max_frames, align=align,
-            landmarks_path=landmarks_path, decode_window=decode_window)
+            landmarks_path=landmarks_path, decode_window=decode_window))
+        return self._predict_from_chunks(
+            chunks, decode_window, f"no frames decoded from "
+            f"{video_path}", smooth, emotions, out_csv,
+            streaming_threshold)
+
+    def predict_crops(self, crops_path: str,
+                      out_csv: Optional[str] = None,
+                      max_frames: Optional[int] = None,
+                      smooth: int = 1,
+                      emotions: bool = False,
+                      streaming_threshold: Optional[int] = 4096,
+                      chunk: int = 256):
+        """Predict from PRECOMPUTED aligned face crops — the
+        reference's two-step workflow (SURVEY.md §3.2: training and
+        the demo consume cached crops). Accepts a packed ``[T, S, S,
+        3]`` ``.npy`` (what ``cli extract`` writes) or a per-frame
+        image directory (OpenFace ``cropped_aligned`` style), so
+        reference users can reuse their existing preprocessing runs
+        without a video file. Decode/tracking/alignment are skipped:
+        the crops ARE the pipeline input.
+
+        Memory, smoothing, ``emotions`` and the ``streaming_threshold``
+        switch-over behave exactly as :meth:`predict` (the crop source
+        is read in ``chunk``-frame windows and routed through the same
+        accumulate-or-carry-stream machinery).
+        """
+        if smooth > 1 and smooth % 2 == 0:
+            raise ValueError(f"smooth window must be odd, got {smooth}")
+        from .data.datasets import CropSource
+        src = CropSource(crops_path,
+                         crop_size=self.model.config.clip.crop_size)
+        t = len(src) if max_frames is None else min(len(src),
+                                                    max_frames)
+
+        def chunks():
+            for s in range(0, t, chunk):
+                yield src.read(s, min(chunk, t - s))
+
+        return self._predict_from_chunks(
+            chunks(), chunk, f"no frames in {crops_path}", smooth,
+            emotions, out_csv, streaming_threshold)
+
+    def _predict_from_chunks(self, chunks, window: int, empty_msg: str,
+                             smooth: int, emotions: bool,
+                             out_csv: Optional[str],
+                             streaming_threshold: Optional[int]):
+        """Shared accumulate-or-carry-stream consumer behind
+        :meth:`predict` (video chunks) and :meth:`predict_crops`
+        (precomputed-crop chunks). Every chunk must have exactly
+        ``window`` frames except the last."""
         prefix, t_total, exhausted = [], 0, False
         while (streaming_threshold is None
                or t_total <= streaming_threshold):
             try:
-                crops, _b, _l = next(chunks)
+                crops = next(chunks)
             except StopIteration:
                 exhausted = True
                 break
@@ -373,7 +423,7 @@ class MimamoAPI:
             import jax.numpy as jnp
             from . import dispatch as _dp
             if not prefix:
-                raise ValueError(f"no frames decoded from {video_path}")
+                raise ValueError(empty_msg)
             crops = (prefix[0] if len(prefix) == 1 else
                      _dp.run_settled(jnp.concatenate, prefix, axis=0))
             # actual crop-buffer bookkeeping, asserted by the
@@ -384,8 +434,7 @@ class MimamoAPI:
             probs = self._classify_crops(crops) if emotions else None
         else:
             series, probs = self._stream_predict(
-                prefix, (c for c, _b, _l in chunks), decode_window,
-                emotions)
+                prefix, chunks, window, emotions)
             # the switch-over moment holds the whole prefix plus
             # nothing else; afterwards one chunk at a time — T-independent
             self.last_peak_crop_frames = t_total

@@ -121,19 +121,32 @@ def _setup_backend(args) -> None:
 
 
 def cmd_predict(args) -> int:
+    # arg coherence before the (slow) backend setup
+    if bool(args.video) == bool(args.crops):
+        raise SystemExit("exactly one of --video / --crops is required")
+    if args.crops and (args.align or args.boxes or args.landmarks):
+        raise SystemExit("--crops takes precomputed ALIGNED crops — "
+                         "--align/--boxes/--landmarks do not apply")
     _setup_backend(args)
     import numpy as np
 
     from .api import MimamoAPI
     api = MimamoAPI(config=_config(args), checkpoint_dir=args.ckpt)
-    out = api.predict(args.video, out_csv=args.out,
-                      boxes_path=args.boxes,
-                      max_frames=args.max_frames, align=args.align,
-                      landmarks_path=args.landmarks,
-                      smooth=args.smooth, emotions=args.emotions,
-                      streaming_threshold=(
-                          None if args.streaming_threshold < 0
-                          else args.streaming_threshold))
+    threshold = (None if args.streaming_threshold < 0
+                 else args.streaming_threshold)
+    if args.crops:
+        out = api.predict_crops(args.crops, out_csv=args.out,
+                                max_frames=args.max_frames,
+                                smooth=args.smooth,
+                                emotions=args.emotions,
+                                streaming_threshold=threshold)
+    else:
+        out = api.predict(args.video, out_csv=args.out,
+                          boxes_path=args.boxes,
+                          max_frames=args.max_frames, align=args.align,
+                          landmarks_path=args.landmarks,
+                          smooth=args.smooth, emotions=args.emotions,
+                          streaming_threshold=threshold)
     series, probs = out if args.emotions else (out, None)
     row = {"frames": len(series),
            "valence_mean": float(series[:, 0].mean()),
@@ -796,7 +809,13 @@ def main(argv: Optional[list] = None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("predict", help="video -> per-frame (v, a) CSV")
-    p.add_argument("--video", required=True)
+    p.add_argument("--video", default=None)
+    p.add_argument("--crops", default=None,
+                   help="predict from PRECOMPUTED aligned crops "
+                        "instead of a video: a packed [T, S, S, 3] "
+                        ".npy (cli extract output) or a per-frame "
+                        "image dir (OpenFace cropped_aligned style) — "
+                        "the reference's two-step workflow")
     p.add_argument("--out", default=None, help="output CSV path")
     p.add_argument("--boxes", default=None, help="precomputed boxes .npy")
     p.add_argument("--ckpt", default=None, help="orbax checkpoint dir")

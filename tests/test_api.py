@@ -281,6 +281,90 @@ class TestStreamingPredict:
         assert len(open(csv).readlines()) == 17
 
 
+class TestPredictCrops:
+    """Round 5: predict from PRECOMPUTED aligned crops — the missing
+    CLI/API leg of the reference's two-step workflow (extract crops ->
+    predict). SURVEY.md §3.2."""
+
+    @pytest.fixture(scope="class")
+    def crops_npy(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("crops")
+        rng = np.random.default_rng(7)
+        crops = rng.uniform(0, 255, (12, 32, 32, 3)).astype(np.uint8)
+        path = str(d / "clip.npy")
+        np.save(path, crops)
+        return path, crops
+
+    def test_matches_predict_from_crops(self, crops_npy):
+        path, crops = crops_npy
+        a = api.MimamoAPI(config=tiny_config())
+        got = a.predict_crops(path)
+        want = np.asarray(a.model.predict_from_crops(a.variables,
+                                                     crops))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        assert a.last_peak_crop_frames == 12
+
+    def test_streams_past_threshold(self, crops_npy, monkeypatch):
+        """Past the threshold the windowed merge must NOT run and the
+        chunked series must equal ONE long-clip forward (same contract
+        as the video path)."""
+        path, crops = crops_npy
+        a = api.MimamoAPI(config=tiny_config())
+        want = np.asarray(a.model.predict_clips(
+            a.variables, jnp.asarray(crops)[None]))[0]
+
+        def _no_windowed(*_a, **_k):  # pragma: no cover - failure path
+            raise AssertionError("windowed predict_from_crops ran")
+
+        monkeypatch.setattr(type(a.model), "predict_from_crops",
+                            _no_windowed)
+        got = a.predict_crops(path, streaming_threshold=4, chunk=4)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_image_dir_matches_packed_npy(self, crops_npy, tmp_path):
+        """The OpenFace cropped_aligned-style image dir is the same
+        input as the packed npy (CropSource contract)."""
+        import cv2
+        path, crops = crops_npy
+        d = str(tmp_path / "dir")
+        os.makedirs(d)
+        for i, f in enumerate(crops):
+            cv2.imwrite(os.path.join(d, f"frame_{i}.png"),
+                        cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        a = api.MimamoAPI(config=tiny_config())
+        np.testing.assert_array_equal(a.predict_crops(d),
+                                      a.predict_crops(path))
+
+    def test_max_frames_and_wrong_size(self, crops_npy, tmp_path):
+        path, crops = crops_npy
+        a = api.MimamoAPI(config=tiny_config())
+        got = a.predict_crops(path, max_frames=9)
+        assert got.shape == (9, 2)
+        wrong = str(tmp_path / "wrong.npy")
+        np.save(wrong, np.zeros((4, 16, 16, 3), np.uint8))
+        with pytest.raises(ValueError, match="crops are"):
+            a.predict_crops(wrong)   # config expects 32x32
+
+    def test_cli_predict_crops_and_arg_coherence(self, crops_npy,
+                                                 tmp_path):
+        from mimamo_tpu import cli
+        path, crops = crops_npy
+        csv = str(tmp_path / "c.csv")
+        rc = cli.main([
+            "predict", "--crops", path, "--out", csv,
+            "--crop-size", "32", "--backbone-size", "32",
+            "--pyramid-height", "2", "--orientations", "2",
+            "--phase-size", "16", "--clip-len", "8", "--stride", "4",
+            "--cpu"])
+        assert rc == 0
+        assert len(open(csv).readlines()) == 13
+        for bad in (["predict", "--crops", path, "--video", "x.mp4"],
+                    ["predict", "--crops", path, "--align"],
+                    ["predict"]):
+            with pytest.raises(SystemExit):
+                cli.main(bad + ["--cpu"])
+
+
 class TestExtractCLI:
     def test_cli_extract_two_step_files(self, video, tmp_path):
         from mimamo_tpu import cli
