@@ -13,9 +13,10 @@ Protocol (one JSON object per line; responses echo ``id`` if present):
 
   {"cmd": "ping"}
       -> {"ok": true, "capacity": C, "active_streams": {...}, ...}
-  {"cmd": "predict", "video": PATH, "align"?: bool, "landmarks"?: PATH,
-   "boxes"?: PATH, "max_frames"?: N, "smooth"?: K, "out_csv"?: PATH,
-   "series"?: bool}
+  {"cmd": "predict", "video": PATH | "crops": PATH (precomputed
+   aligned crops: packed .npy or image dir — exactly one of the two),
+   "align"?: bool, "landmarks"?: PATH, "boxes"?: PATH (video only),
+   "max_frames"?: N, "smooth"?: K, "out_csv"?: PATH, "series"?: bool}
       -> {"ok": true, "frames": N, "valence_mean": ..,
           "arousal_mean": .., "series"?: [[v, a], ...]}
   {"cmd": "stream_open", "stream": NAME}
@@ -139,16 +140,31 @@ class Server:
                 "uptime_sec": round(time.time() - self._t0, 3)}
 
     def _cmd_predict(self, req) -> Dict[str, Any]:
-        for kind in ("video", "out_csv", "boxes", "landmarks"):
+        for kind in ("video", "crops", "out_csv", "boxes", "landmarks"):
             if req.get(kind):
                 self._check_path(req[kind], kind)
-        series = self.api.predict(
-            req["video"], out_csv=req.get("out_csv"),
-            boxes_path=req.get("boxes"),
-            max_frames=req.get("max_frames"),
-            align=bool(req.get("align", False)),
-            landmarks_path=req.get("landmarks"),
-            smooth=int(req.get("smooth", 1)))
+        if bool(req.get("video")) == bool(req.get("crops")):
+            raise ValueError(
+                "predict takes exactly one of 'video' / 'crops'")
+        if req.get("crops"):
+            # precomputed aligned crops (two-step workflow) — same
+            # validation/semantics as cli predict --crops
+            if req.get("align") or req.get("boxes") or \
+                    req.get("landmarks"):
+                raise ValueError("'crops' are already aligned — "
+                                 "align/boxes/landmarks do not apply")
+            series = self.api.predict_crops(
+                req["crops"], out_csv=req.get("out_csv"),
+                max_frames=req.get("max_frames"),
+                smooth=int(req.get("smooth", 1)))
+        else:
+            series = self.api.predict(
+                req["video"], out_csv=req.get("out_csv"),
+                boxes_path=req.get("boxes"),
+                max_frames=req.get("max_frames"),
+                align=bool(req.get("align", False)),
+                landmarks_path=req.get("landmarks"),
+                smooth=int(req.get("smooth", 1)))
         resp = {"frames": int(series.shape[0]),
                 "valence_mean": float(series[:, 0].mean()),
                 "arousal_mean": float(series[:, 1].mean())}

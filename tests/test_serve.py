@@ -258,6 +258,39 @@ class TestAllowedRoot:
         r = srv.handle({"cmd": "stream_feed", "stream": "s",
                         "crops": "/tmp/outside.npy"})
         assert not r["ok"] and "allowed root" in r["error"]
+        # the predict 'crops' path goes through the same sandbox
+        r = srv.handle({"cmd": "predict", "crops": "/tmp/outside.npy"})
+        assert not r["ok"] and "allowed root" in r["error"]
+
+
+class TestPredictCropsRequest:
+    """Round 5: predict from precomputed crops over the protocol —
+    same semantics as cli predict --crops."""
+
+    def test_predict_crops_matches_api(self, server, tmp_path):
+        rng = np.random.default_rng(11)
+        crops = rng.uniform(0, 255, (10, 32, 32, 3)).astype(np.uint8)
+        p = str(tmp_path / "crops.npy")
+        np.save(p, crops)
+        r = server.handle({"cmd": "predict", "crops": p,
+                           "series": True})
+        assert r["ok"], r
+        want = np.asarray(server.api.model.predict_from_crops(
+            server.api.variables, crops))
+        np.testing.assert_allclose(np.asarray(r["series"]), want,
+                                   atol=1e-4)
+        assert r["frames"] == 10
+
+    def test_predict_arg_coherence_errors(self, server, tmp_path):
+        p = str(tmp_path / "c.npy")
+        np.save(p, np.zeros((4, 32, 32, 3), np.uint8))
+        r = server.handle({"cmd": "predict"})
+        assert not r["ok"] and "exactly one" in r["error"]
+        r = server.handle({"cmd": "predict", "crops": p,
+                           "video": "x.mp4"})
+        assert not r["ok"] and "exactly one" in r["error"]
+        r = server.handle({"cmd": "predict", "crops": p, "align": True})
+        assert not r["ok"] and "already aligned" in r["error"]
 
 
 class TestServeCLI:
