@@ -1,0 +1,239 @@
+"""Crop-stage probe: the last unprobed device stage (4.4-5.7 ms/384f).
+
+The on-device crop (`preprocess.crop_and_resize`) is two t-batched
+tiny GEMMs ([112,src]@[src,~350] per frame) built from per-frame hat
+matrices. The stage-timing rows (BASELINE.md, `stages.py --chain 6`)
+put it at 4.4-5.7 ms per 384-frame step from a 128x128 source — about
+60 GB/s and 1.6 TFLOP/s, an order of magnitude under BOTH roofline
+bounds (265 MB analytic -> 0.37 ms at the measured 712 GB/s; 8 GFLOP
+-> 0.05 ms at the measured 169 TFLOP/s). Every other stage has either
+a shipped optimization or a closing negative result; this probe
+settles crop with measurements:
+
+  1. `matmul_framesalt` — the shipped formulation, salt on frames only
+     (the stages.py convention: hat-matrix construction CSEs across
+     the chain, matching the historical 4.4 ms row).
+  2. `matmul_fullsalt` — salt perturbs the boxes too, so construction
+     is paid per application (the honest per-call cost on the predict
+     path, where boxes change every chunk).
+  3. `gemms_only` / `construct_only` — attribution split: precomputed
+     hat matrices vs building them (elementwise over [T,112,src]).
+  4. `gather4` — the SAME sampling positions via `warp_similarity`
+     with axis-aligned inverse maps (4-tap vectorized gather, no
+     GEMMs); bitwise-comparable math, so a direct swap candidate.
+  5. `matmul_bf16` — both GEMMs with bf16 operands (default TPU matmul
+     precision already rounds inputs to bf16; this additionally
+     rounds the [T,P,W,C] intermediate and halves its traffic).
+  6. `planar_tc` — channel-planar reformulation: x -> [T,H,C*W] so
+     contraction 1 keeps the baseline shape but contraction 2's rhs
+     [T,P*C,W] is contiguous in W (no pre-GEMM relayout; the output
+     transpose [T,Q,P,C]->[T,P,Q,C] is counted, it is part of the
+     formulation's cost).
+  7. `gemm_ceiling` — one NON-batched GEMM of the identical FLOP count
+     ([T*112,src]@[src,W*C]): what the MXU does when the work is not
+     chopped into 384 per-frame batch elements. An upper bound no
+     per-frame formulation can reach (the hat matrices differ per
+     frame), printed to size the batching tax.
+
+Parity: every numeric variant is checked against the shipped
+formulation before timing (scale-relative; bf16 gets a bf16-class
+tolerance). Verdict goes to BASELINE.md either way.
+
+    python bench/crop_probe.py [--cpu] [--batch 8] [--clip-len 48]
+                               [--src 128] [--iters 30] [--chain 6]
+"""
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--clip-len", type=int, default=48)
+    ap.add_argument("--src", type=int, default=128,
+                    help="source frame H=W (128 matches the stages.py "
+                         "row; try 256 for the corpus-like regime)")
+    ap.add_argument("--out-size", type=int, default=112)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--chain", type=int, default=6)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from _timing import time_chained
+    from mimamo_tpu import preprocess
+
+    t = args.batch * args.clip_len
+    h = w = args.src
+    s = args.out_size
+    rng = np.random.default_rng(0)
+    frames = jax.device_put(jnp.asarray(
+        rng.uniform(0, 255, (t, h, w, 3)).astype(np.float32)))
+    # realistic per-frame boxes: jittered positions and sizes, all
+    # in-bounds so no variant's clamping path dominates
+    size = rng.uniform(0.55 * h, 0.85 * h, (t, 1)).astype(np.float32)
+    y0x0 = rng.uniform(0.0, 1.0, (t, 2)).astype(np.float32) * (h - size)
+    boxes = jax.device_put(jnp.asarray(
+        np.concatenate([y0x0, size, size], axis=1)))
+
+    def boxes_to_transforms(bx):
+        """Axis-aligned [T,2,3] inverse maps with crop_and_resize's
+        exact sampling convention: src = start + (i+0.5)*size/dst -
+        0.5 + 0.5 (warp subtracts the 0.5 back)."""
+        zeros = jnp.zeros_like(bx[:, 0])
+        sy = bx[:, 2] / s
+        sx = bx[:, 3] / s
+        return jnp.stack([
+            jnp.stack([sy, zeros, bx[:, 0]], axis=1),
+            jnp.stack([zeros, sx, bx[:, 1]], axis=1)], axis=1)
+
+    def matmul_crop(f, bx):
+        return preprocess.crop_and_resize(f, bx, s)
+
+    def gather4_crop(f, bx):
+        return preprocess.warp_similarity(f, boxes_to_transforms(bx), s)
+
+    def interp_mats(bx):
+        ry = preprocess._interp_matrix(bx[:, 0], bx[:, 2], h, s)
+        rx = preprocess._interp_matrix(bx[:, 1], bx[:, 3], w, s)
+        return ry, rx
+
+    def gemms(f, ry, rx):
+        y = jnp.einsum("tph,thwc->tpwc", ry, f,
+                       preferred_element_type=jnp.float32)
+        return jnp.einsum("tqw,tpwc->tpqc", rx, y,
+                          preferred_element_type=jnp.float32)
+
+    def matmul_bf16(f, bx):
+        ry, rx = interp_mats(bx)
+        y = jnp.einsum("tph,thwc->tpwc", ry.astype(jnp.bfloat16),
+                       f.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        return jnp.einsum("tqw,tpwc->tpqc", rx.astype(jnp.bfloat16),
+                          y.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+
+    def planar_tc(f, bx):
+        ry, rx = interp_mats(bx)
+        # [T,H,W,C] -> [T,H,C,W]: C is tiny so this relayout is the
+        # formulation's entry fee; contraction 2 then needs none.
+        xp = jnp.swapaxes(f, -1, -2)                      # [T,H,C,W]
+        y = jax.lax.dot_general(                          # [T,P,C*W]
+            ry, xp.reshape(t, h, 3 * w),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        out = jax.lax.dot_general(                        # [T,Q,P*C]
+            rx, y.reshape(t, s * 3, w),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        return jnp.moveaxis(out.reshape(t, s, s, 3), 1, 2)
+
+    # -- parity gates (unsalted, before any timing) ---------------------
+    # Tolerances are bf16-class even for the f32 variants: on TPU the
+    # SHIPPED matmul formulation itself rounds its GEMM inputs to bf16
+    # (default matmul precision — no `precision=HIGHEST` in
+    # crop_and_resize), so a pure-f32 gather differs from it by the
+    # baseline's own rounding. That rounding is smaller than the
+    # reference pipeline's own crop quantization (OpenFace writes
+    # uint8 crop IMAGES: 0.5/255 ≈ 2e-3 relative), so it is not a
+    # parity hazard; the gate here is for formulation bugs.
+    ref = np.asarray(jax.jit(matmul_crop)(frames, boxes))
+    scale = float(np.abs(ref).max())
+    rows = []
+    for name, fn, tol in [("gather4", gather4_crop, 2e-2),
+                          ("matmul_bf16", matmul_bf16, 3e-2),
+                          ("planar_tc", planar_tc, 2e-2)]:
+        got = np.asarray(jax.jit(fn)(frames, boxes))
+        rel = float(np.abs(got - ref).max()) / scale
+        ok = rel <= tol
+        rows.append({"parity": name, "rel": rel, "ok": ok})
+        print(json.dumps(rows[-1]), flush=True)
+        if not ok:
+            raise SystemExit(f"parity FAILED for {name}: {rel}")
+
+    # -- timing ---------------------------------------------------------
+    k = args.chain
+
+    def run(name, build):
+        """build(salt_i) -> scalar contribution for application i."""
+        def chained(salt, *xs):
+            return sum(build(salt + 17.0 * i, *xs) for i in range(k))
+        dt = time_chained(jax.jit(chained), (frames, boxes),
+                          args.iters, k)
+        print(json.dumps({
+            "variant": name, "ms_per_step": round(dt * 1e3, 3),
+            "frames_per_sec": round(t / dt, 1)}), flush=True)
+        return dt
+
+    results = {}
+    results["matmul_framesalt"] = run(
+        "matmul_framesalt",
+        lambda u, f, bx: jnp.sum(matmul_crop(f + u, bx)))
+    results["matmul_fullsalt"] = run(
+        "matmul_fullsalt",
+        lambda u, f, bx: jnp.sum(matmul_crop(f + u, bx + 1e-3 * u)))
+    results["gemms_only"] = run(
+        "gemms_only",
+        lambda u, f, bx: jnp.sum(gemms(f + u, *interp_mats(bx))))
+    results["construct_only"] = run(
+        "construct_only",
+        lambda u, f, bx: sum(jnp.sum(m)
+                             for m in interp_mats(bx + 1e-3 * u)))
+    results["gather4_framesalt"] = run(
+        "gather4_framesalt",
+        lambda u, f, bx: jnp.sum(gather4_crop(f + u, bx)))
+    results["gather4_fullsalt"] = run(
+        "gather4_fullsalt",
+        lambda u, f, bx: jnp.sum(gather4_crop(f + u, bx + 1e-3 * u)))
+    results["matmul_bf16"] = run(
+        "matmul_bf16",
+        lambda u, f, bx: jnp.sum(matmul_bf16(f + u, bx)))
+    results["planar_tc"] = run(
+        "planar_tc",
+        lambda u, f, bx: jnp.sum(planar_tc(f + u, bx)))
+
+    # FLOP-identical non-batched GEMM ceiling: [T*s, h] @ [h, 3w] and
+    # [T*s, w] @ [w, 3s] stand in for the two batched contractions.
+    a1 = jax.device_put(jnp.asarray(
+        rng.uniform(-1, 1, (t * s, h)).astype(np.float32)))
+    b1 = jax.device_put(jnp.asarray(
+        rng.uniform(-1, 1, (h, 3 * w)).astype(np.float32)))
+    a2 = jax.device_put(jnp.asarray(
+        rng.uniform(-1, 1, (t * s, w)).astype(np.float32)))
+    b2 = jax.device_put(jnp.asarray(
+        rng.uniform(-1, 1, (w, 3 * s)).astype(np.float32)))
+
+    def ceiling_chained(salt, a1, b1, a2, b2):
+        return sum(jnp.sum(jnp.dot(a1 + (salt + 17.0 * i), b1)) +
+                   jnp.sum(jnp.dot(a2 + (salt + 17.0 * i), b2))
+                   for i in range(k))
+    dt = time_chained(jax.jit(ceiling_chained), (a1, b1, a2, b2),
+                      args.iters, k)
+    print(json.dumps({"variant": "gemm_ceiling_flop_identical",
+                      "ms_per_step": round(dt * 1e3, 3)}), flush=True)
+    results["gemm_ceiling"] = dt
+
+    base = results["matmul_framesalt"]
+    best = min((v, n) for n, v in results.items()
+               if n not in ("construct_only", "gemm_ceiling"))
+    print(json.dumps({
+        "verdict": ("WIN " + best[1] if best[0] < 0.9 * base
+                    else "negative: shipped matmul form within 10% "
+                         "of every variant"),
+        "baseline_ms": round(base * 1e3, 3),
+        "best_ms": round(best[0] * 1e3, 3),
+        "best_variant": best[1]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
