@@ -76,8 +76,16 @@ def _add_multihost(p: argparse.ArgumentParser, what: str) -> None:
 
 def _init_multihost(args) -> None:
     """jax.distributed.initialize from the CLI flags (before any other
-    backend use). No-op without --coordinator."""
+    backend use). No-op without any multi-host flag."""
     if not getattr(args, "coordinator", None):
+        if (getattr(args, "num_processes", None) is not None
+                or getattr(args, "process_id", None) is not None):
+            # Fail fast: silently running single-process would stream
+            # the FULL dataset on this host (not its slice) while the
+            # peers hang in jax.distributed.initialize.
+            raise SystemExit("--num-processes/--process-id require "
+                             "--coordinator (pod-slice launch needs "
+                             "all three on every host)")
         return
     import jax
     from . import parallel

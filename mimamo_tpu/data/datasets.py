@@ -358,14 +358,18 @@ class AffWild2Dataset(_ClipDataset):
                 crops_dir = alt
         if videos is None:
             entries = os.listdir(crops_dir)
-            # .feat.npy appearance-feature sidecars live NEXT to the
-            # crop arrays (api.FeatureExtractor convention) — they are
-            # not videos (enumerating "vid.feat" crashed on its missing
-            # annotation file; caught by the round-5 overfit test)
+            # Sidecars live NEXT to the crop arrays and are not videos:
+            # .feat.npy appearance features (api.FeatureExtractor),
+            # .boxes.npy / .landmarks.npy tracker outputs (cli extract
+            # always writes boxes, and landmarks when aligned).
+            # Enumerating "vid.feat" crashed on its missing annotation
+            # file (caught by the round-5 overfit test); "vid.boxes" /
+            # "vid.landmarks" failed the same way.
+            sidecars = (".feat.npy", ".boxes.npy", ".landmarks.npy")
             videos = sorted(
                 {os.path.splitext(f)[0] for f in entries
                  if f.endswith(".npy")
-                 and not f.endswith(".feat.npy")}
+                 and not f.endswith(sidecars)}
                 | {f for f in entries
                    if os.path.isdir(os.path.join(crops_dir, f))})
         self.videos = list(videos)

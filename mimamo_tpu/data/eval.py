@@ -91,6 +91,15 @@ def _reduce_ccc(preds: np.ndarray, golds: np.ndarray,
     ccc_np on one process; exact moment-sum allgather (a COLLECTIVE —
     every process must reach it) across a pod slice."""
     if not process_count or process_count == 1:
+        if len(preds) == 0:
+            # Loud failure beats NaN metrics with exit code 0: a
+            # single-process eval that streamed zero sequences is a
+            # mis-pointed root, not a valid result. (The empty-slice
+            # case is only legitimate multi-process, where fewer
+            # sequences than processes can leave one slice empty —
+            # the moment-sum branch below handles it exactly.)
+            raise ValueError("eval produced zero sequences — empty or "
+                             "mis-pointed dataset root?")
         return ccc_np(preds, golds), len(preds)
     from .. import parallel
     sums = parallel.host_allgather_f64(

@@ -219,6 +219,45 @@ class TestAffWild2:
         assert out["n_frames"] > 0
         assert -1.0 <= out["mean_ccc"] <= 1.0
 
+    def test_tracker_sidecars_not_enumerated(self, tmp_path):
+        """cli extract writes <vid>.boxes.npy (always) and
+        <vid>.landmarks.npy (aligned runs) next to the crop arrays;
+        enumeration must skip them like .feat.npy or construction
+        crashes on the phantom video's missing annotation file
+        (round-5 review finding)."""
+        root = str(tmp_path / "aw")
+        datasets.make_synthetic_affwild2(root, n_videos=2, frames=12,
+                                         size=32)
+        crops = os.path.join(root, "crops")
+        np.save(os.path.join(crops, "vid0.boxes.npy"),
+                np.zeros((12, 4), np.float32))
+        np.save(os.path.join(crops, "vid0.landmarks.npy"),
+                np.zeros((12, 2, 2), np.float32))
+        ds = datasets.AffWild2Dataset(root,
+                                      clip=tiny_config(8, 8).clip)
+        assert ds.videos == ["vid0", "vid1"]
+
+
+class TestEvalGuards:
+    def test_single_process_zero_sequences_raises(self):
+        """A single-host eval that streamed nothing is a mis-pointed
+        root; NaN metrics with rc 0 must not escape (round-5 review
+        finding — the zeros fallback exists for the multi-process
+        empty-slice case only)."""
+        with pytest.raises(ValueError, match="zero sequences"):
+            eval_mod._reduce_ccc(np.zeros((0, 2)), np.zeros((0, 2)),
+                                 None)
+
+    def test_cli_rejects_slice_flags_without_coordinator(self):
+        """--process-id/--num-processes without --coordinator would
+        silently eval the FULL dataset single-process while the peers
+        hang in jax.distributed.initialize (round-5 review finding)."""
+        from mimamo_tpu import cli
+        for extra in (["--process-id", "1"], ["--num-processes", "2"]):
+            with pytest.raises(SystemExit, match="--coordinator"):
+                cli.main(["eval", "--dataset", "omg", "--root", "/nope",
+                          "--manifest", "/nope.csv", "--cpu"] + extra)
+
 
 class TestBatchedEval:
     def test_batched_equals_sequential_and_fewer_dispatches(
