@@ -39,6 +39,29 @@ Parity: every numeric variant is checked against the shipped
 formulation before timing (scale-relative; bf16 gets a bf16-class
 tolerance). Verdict goes to BASELINE.md either way.
 
+HARDWARE VERDICT (v5e, 2026-08-19 — full rows in BASELINE.md):
+  * The matmul variants are indistinguishable at every chain length
+    because NONE of them is the bound: measured ms/application ≈
+    (28 ms dispatch floor)/chain at k = 6, 24 AND 96, so real crop
+    compute is <=0.3 ms/384f (~its 0.37 ms roofline). The historical
+    "crop 4.4-5.7 ms" stage rows were floor artifacts. Stage CLOSED.
+  * gather4 (= the production `warp_similarity` align path) is REAL
+    compute: ~190 ms/384f, chain-invariant, even with axis-aligned
+    transforms — XLA's per-pixel 4-tap gather lowering, not rotation.
+    If on-device alignment ever needs to beat ~2k f/s/chip, the
+    candidate reformulations (untried; each trades exactness or
+    bounded angle for gather-freedom): (a) 3-shear rotation where
+    each shear's integer row-shift is materialized as ~2*tan(th/2)*S
+    shifted image copies + per-row elementwise select, fractional
+    part as a 2-tap lerp (O(angle) copies, exact geometry, slightly
+    different reconstruction filter than direct bilinear); (b) shears
+    as FFT phase ramps on the padded canvas (rides the existing
+    DFT-matmul machinery; sinc reconstruction + wrap margins).
+  * The probe's parity gate caught a REAL production bug: the align
+    path's coordinate einsum bf16-rounds on TPU (0.26-1.75 px
+    position error by source scale); fixed to elementwise FMAs in
+    preprocess.warp_similarity — this gate is the regression test.
+
     python bench/crop_probe.py [--cpu] [--batch 8] [--clip-len 48]
                                [--src 128] [--iters 30] [--chain 6]
 """
@@ -63,6 +86,12 @@ def main():
     ap.add_argument("--out-size", type=int, default=112)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--chain", type=int, default=6)
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="run only these variants (substring match); "
+                         "long chains need this — the floor-resolving "
+                         "chain 96 run would spend minutes re-timing "
+                         "the 190 ms gather whose cost is already "
+                         "chain-invariant")
     args = ap.parse_args()
 
     import jax
@@ -166,6 +195,9 @@ def main():
 
     def run(name, build):
         """build(salt_i) -> scalar contribution for application i."""
+        if args.only is not None and not any(s in name
+                                             for s in args.only):
+            return None
         def chained(salt, *xs):
             return sum(build(salt + 17.0 * i, *xs) for i in range(k))
         dt = time_chained(jax.jit(chained), (frames, boxes),
@@ -213,16 +245,21 @@ def main():
     b2 = jax.device_put(jnp.asarray(
         rng.uniform(-1, 1, (w, 3 * s)).astype(np.float32)))
 
-    def ceiling_chained(salt, a1, b1, a2, b2):
-        return sum(jnp.sum(jnp.dot(a1 + (salt + 17.0 * i), b1)) +
-                   jnp.sum(jnp.dot(a2 + (salt + 17.0 * i), b2))
-                   for i in range(k))
-    dt = time_chained(jax.jit(ceiling_chained), (a1, b1, a2, b2),
-                      args.iters, k)
-    print(json.dumps({"variant": "gemm_ceiling_flop_identical",
-                      "ms_per_step": round(dt * 1e3, 3)}), flush=True)
-    results["gemm_ceiling"] = dt
+    if args.only is None or any(s in "gemm_ceiling" for s in args.only):
+        def ceiling_chained(salt, a1, b1, a2, b2):
+            return sum(jnp.sum(jnp.dot(a1 + (salt + 17.0 * i), b1)) +
+                       jnp.sum(jnp.dot(a2 + (salt + 17.0 * i), b2))
+                       for i in range(k))
+        dt = time_chained(jax.jit(ceiling_chained), (a1, b1, a2, b2),
+                          args.iters, k)
+        print(json.dumps({"variant": "gemm_ceiling_flop_identical",
+                          "ms_per_step": round(dt * 1e3, 3)}),
+              flush=True)
+        results["gemm_ceiling"] = dt
 
+    results = {n: v for n, v in results.items() if v is not None}
+    if "matmul_framesalt" not in results:
+        return
     base = results["matmul_framesalt"]
     best = min((v, n) for n, v in results.items()
                if n not in ("construct_only", "gemm_ceiling"))

@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--trace", default=None,
                     help="jax.profiler trace output dir")
+    ap.add_argument("--stages", nargs="*", default=None,
+                    help="run only stages whose name contains one of "
+                         "these substrings (sum_of_stages/"
+                         "unfused_overhead are then meaningless and "
+                         "skipped)")
     ap.add_argument("--chain", type=int, default=1,
                     help="salted applications of each stage chained inside "
                          "ONE jitted call; amortizes the ~22 ms tunnel "
@@ -73,6 +78,13 @@ def main():
         # tunnel's identical-args execution cache. With --chain k, the
         # stage runs k times (distinct salts -> no CSE) inside one
         # program, so the per-application time sheds the fetch floor.
+        # FLOOR CAVEAT (round-5 crop probe): a chained stage measures
+        # max(true_compute, ~28ms/k) per application — any row near
+        # 28/k ms is an upper bound, not a cost. Small stages need
+        # --chain 24-48 (--stages to avoid re-compiling the big ones).
+        if args.stages is not None and not any(sub in name
+                                               for sub in args.stages):
+            return 0.0
         k = args.chain
 
         def chained(salt, *xs):
@@ -152,9 +164,10 @@ def main():
             variables["temporal"], ph + salt, ft)[0],
         phase_in, feats, frames_per_step=fpstep)
 
-    print(json.dumps({"stage": "sum_of_stages",
-                      "sec_per_step": round(total, 5),
-                      "frames_per_sec": round(fpstep / total, 1)}))
+    if args.stages is None:
+        print(json.dumps({"stage": "sum_of_stages",
+                          "sec_per_step": round(total, 5),
+                          "frames_per_sec": round(fpstep / total, 1)}))
 
     if args.trace:
         import jax.profiler
@@ -167,8 +180,9 @@ def main():
         "full_pipeline",
         lambda c, salt: model.forward(variables, c + salt)[0],
         clips, frames_per_step=fpstep)
-    print(json.dumps({"stage": "unfused_overhead",
-                      "sec_per_step": round(full - total, 5)}))
+    if args.stages is None:
+        print(json.dumps({"stage": "unfused_overhead",
+                          "sec_per_step": round(full - total, 5)}))
 
 
 if __name__ == "__main__":

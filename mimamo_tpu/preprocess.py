@@ -328,18 +328,31 @@ def warp_similarity(frames: jnp.ndarray, transforms: jnp.ndarray,
 
     Rotation makes the sampling non-separable, so this path uses one
     vectorized gather per corner (4 total) instead of the matmul form of
-    :func:`crop_and_resize`; alignment cost is negligible next to the
-    backbone.
+    :func:`crop_and_resize`. MEASURED COST (v5e, 2026-08-19,
+    bench/crop_probe.py): ~190 ms per 384 frames (~2,020 f/s) — XLA's
+    per-pixel gather lowering is ~600x the matmul crop's real compute,
+    NOT "negligible" as previously claimed. It binds only when
+    alignment runs on-device faster than decode (the Python predict
+    path is decode-bound well below 2k f/s; the corpus path warps on
+    the host in C++); see BASELINE.md round-5 rows before putting this
+    op on a hot path.
     """
     t, h, w, _c = frames.shape
     x = frames.astype(jnp.float32)
     grid_y, grid_x = jnp.meshgrid(
         jnp.arange(out_size, dtype=jnp.float32) + 0.5,
         jnp.arange(out_size, dtype=jnp.float32) + 0.5, indexing="ij")
-    ones = jnp.ones_like(grid_y)
-    coords = jnp.stack([grid_y, grid_x, ones], axis=-1)     # [S, S, 3]
-    src = jnp.einsum("tij,pqj->tpqi", transforms.astype(jnp.float32),
-                     coords) - 0.5                          # [T, S, S, 2]
+    # Coordinates ELEMENTWISE, never through a matmul: on TPU a K=3
+    # coordinate einsum rounds its operands to bf16 (default matmul
+    # precision), shifting the sampling positions by ~0.26 px at
+    # 128-px sources and ~1.75 px at HD-scale offsets (measured on
+    # v5e, 2026-08-19) — a real alignment error with no counterpart
+    # in the reference's CPU float warps. Elementwise FMAs stay f32
+    # and the contraction is too small for the MXU to matter.
+    a = transforms.astype(jnp.float32)[:, None, None]   # [T, 1, 1, 2, 3]
+    src = (a[..., 0] * grid_y[None, :, :, None]
+           + a[..., 1] * grid_x[None, :, :, None]
+           + a[..., 2]) - 0.5                           # [T, S, S, 2]
     sy = jnp.clip(src[..., 0], 0.0, h - 1.0)
     sx = jnp.clip(src[..., 1], 0.0, w - 1.0)
     y0 = jnp.floor(sy)

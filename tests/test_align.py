@@ -36,6 +36,29 @@ class TestWarpSimilarity:
         np.testing.assert_allclose(got[2:-2, 2:-2], want[2:-2, 2:-2],
                                    atol=1e-2)
 
+    def test_no_matmul_on_coordinate_path(self):
+        """The warp must contain NO dot/einsum anywhere: on TPU a K=3
+        coordinate einsum rounds its operands to bf16 (default matmul
+        precision), shifting sampling positions by 0.26-1.75 px by
+        source scale (measured on v5e 2026-08-19, bench/crop_probe.py
+        — whose gather4 parity gate is the hardware regression test).
+        Coordinates are elementwise FMAs and sampling is a gather, so
+        any dot_general in the jaxpr is a reintroduction."""
+        jaxpr = jax.make_jaxpr(
+            lambda f, a: preprocess.warp_similarity(f, a, 32))(
+            jnp.zeros((2, 60, 80, 3)), jnp.zeros((2, 2, 3)))
+        # walk nested call/pjit subjaxprs too — einsum may be wrapped
+        prims = set()
+        stack = [jaxpr.jaxpr]
+        while stack:
+            j = stack.pop()
+            for e in j.eqns:
+                prims.add(e.primitive.name)
+                for v in e.params.values():
+                    if hasattr(v, "jaxpr"):
+                        stack.append(v.jaxpr)
+        assert "dot_general" not in prims, prims
+
     def test_identity_transform_is_resize(self):
         rng = np.random.default_rng(1)
         img = rng.uniform(0, 255, (32, 32, 3)).astype(np.float32)
