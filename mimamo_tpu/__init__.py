@@ -18,4 +18,4 @@ from .config import (
     TrainSpec,
 )
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
