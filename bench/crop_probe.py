@@ -152,6 +152,100 @@ def main():
                           y.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
 
+    def _warp_coords(trs):
+        """warp_similarity's exact (post-fix elementwise) coordinate
+        math, shared by the alternative gather LOWERINGS below — same
+        sampled positions, so parity vs gather4 is f32-tight."""
+        gy, gx = jnp.meshgrid(jnp.arange(s, dtype=jnp.float32) + 0.5,
+                              jnp.arange(s, dtype=jnp.float32) + 0.5,
+                              indexing="ij")
+        a = trs.astype(jnp.float32)[:, None, None]
+        src = (a[..., 0] * gy[None, :, :, None]
+               + a[..., 1] * gx[None, :, :, None] + a[..., 2]) - 0.5
+        sy = jnp.clip(src[..., 0], 0.0, h - 1.0)
+        sx = jnp.clip(src[..., 1], 0.0, w - 1.0)
+        y0f = jnp.floor(sy)
+        x0f = jnp.floor(sx)
+        return (y0f.astype(jnp.int32), x0f.astype(jnp.int32),
+                sy - y0f, sx - x0f)
+
+    def warp_taa(f, bx):
+        """4-tap warp, each tap a take_along_axis on the flattened
+        H*W axis (one linear index per output pixel) instead of
+        warp_similarity's advanced-indexing batched gather."""
+        y0, x0, fy, fx = _warp_coords(boxes_to_transforms(bx))
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        flat = f.astype(jnp.float32).reshape(t, h * w, 3)
+
+        def g(yy, xx):
+            idx = (yy * w + xx).reshape(t, s * s, 1)
+            return jnp.take_along_axis(flat, idx,
+                                       axis=1).reshape(t, s, s, 3)
+
+        top = g(y0, x0) * (1 - fx)[..., None] + g(y0, x1) * fx[..., None]
+        bot = g(y1, x0) * (1 - fx)[..., None] + g(y1, x1) * fx[..., None]
+        return top * (1 - fy)[..., None] + bot * fy[..., None]
+
+    def warp_taa_bf16(f, bx):
+        """warp_taa with bf16 gather VALUES (f32 lerp): tests whether
+        the gather cost is value-bytes-driven. Weights/coords stay f32
+        so only the sampled pixels round (reference crops are uint8
+        anyway)."""
+        y0, x0, fy, fx = _warp_coords(boxes_to_transforms(bx))
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        flat = f.astype(jnp.bfloat16).reshape(t, h * w, 3)
+
+        def g(yy, xx):
+            idx = (yy * w + xx).reshape(t, s * s, 1)
+            return jnp.take_along_axis(flat, idx, axis=1).reshape(
+                t, s, s, 3).astype(jnp.float32)
+
+        top = g(y0, x0) * (1 - fx)[..., None] + g(y0, x1) * fx[..., None]
+        bot = g(y1, x0) * (1 - fx)[..., None] + g(y1, x1) * fx[..., None]
+        return top * (1 - fy)[..., None] + bot * fy[..., None]
+
+    def warp_patch(f, bx):
+        """ONE lax.gather per frame fetching [2, 2, C] patches (the
+        four taps are adjacent — a 48-byte contiguous-ish slice per
+        output pixel instead of four scattered 12-byte reads). Edge
+        starts are pre-clamped to h-2/w-2 and the tap weights routed
+        to the correct patch row/col so clamping stays exact."""
+        y0, x0, fy, fx = _warp_coords(boxes_to_transforms(bx))
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        y0c = jnp.minimum(y0, h - 2)
+        x0c = jnp.minimum(x0, w - 2)
+
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+            start_index_map=(0, 1))
+
+        def per_frame(img, yy, xx):
+            starts = jnp.stack([yy.ravel(), xx.ravel()], axis=1)
+            patch = jax.lax.gather(
+                img, starts, dnums, slice_sizes=(2, 2, 3),
+                mode=jax.lax.GatherScatterMode.CLIP)
+            return patch.reshape(s, s, 2, 2, 3)
+
+        patches = jax.vmap(per_frame)(f.astype(jnp.float32), y0c, x0c)
+        # weight per patch row r: the true taps are y0 (1-fy) and y1
+        # (fy); route each onto whichever patch row matches (handles
+        # both the y0==h-1 clamp and the y1 edge clamp exactly)
+        def wts(t0, t1, f01, c0):
+            w_r0 = (1 - f01) * (c0 == t0) + f01 * (c0 == t1)
+            w_r1 = (1 - f01) * (c0 + 1 == t0) + f01 * (c0 + 1 == t1)
+            return w_r0, w_r1
+
+        wy0, wy1 = wts(y0, y1, fy, y0c)
+        wx0, wx1 = wts(x0, x1, fx, x0c)
+        top = (patches[..., 0, 0, :] * wx0[..., None]
+               + patches[..., 0, 1, :] * wx1[..., None])
+        bot = (patches[..., 1, 0, :] * wx0[..., None]
+               + patches[..., 1, 1, :] * wx1[..., None])
+        return top * wy0[..., None] + bot * wy1[..., None]
+
     def planar_tc(f, bx):
         ry, rx = interp_mats(bx)
         # [T,H,W,C] -> [T,H,C,W]: C is tiny so this relayout is the
@@ -187,6 +281,17 @@ def main():
         ok = rel <= tol
         rows.append({"parity": name, "rel": rel, "ok": ok})
         print(json.dumps(rows[-1]), flush=True)
+        if not ok:
+            raise SystemExit(f"parity FAILED for {name}: {rel}")
+    # the alternative gather LOWERINGS sample the exact positions of
+    # gather4 (shared coordinate helper) — f32-tight parity vs IT
+    ref_g = np.asarray(jax.jit(gather4_crop)(frames, boxes))
+    for name, fn in [("warp_taa", warp_taa), ("warp_patch", warp_patch)]:
+        got = np.asarray(jax.jit(fn)(frames, boxes))
+        rel = float(np.abs(got - ref_g).max()) / scale
+        ok = rel <= 1e-5
+        print(json.dumps({"parity": name + "_vs_gather4", "rel": rel,
+                          "ok": ok}), flush=True)
         if not ok:
             raise SystemExit(f"parity FAILED for {name}: {rel}")
 
@@ -227,6 +332,22 @@ def main():
     results["gather4_fullsalt"] = run(
         "gather4_fullsalt",
         lambda u, f, bx: jnp.sum(gather4_crop(f + u, bx + 1e-3 * u)))
+    results["warp_taa"] = run(
+        "warp_taa",
+        lambda u, f, bx: jnp.sum(warp_taa(f + u, bx)))
+    results["warp_taa_bf16"] = run(
+        "warp_taa_bf16",
+        lambda u, f, bx: jnp.sum(warp_taa_bf16(f + u, bx)))
+    # warp_patch: HARDWARE NEGATIVE RESULT 2026-08-19 — the [N,2,2,3]
+    # gather output gets a T(8,128)-padded layout (42.7x expansion,
+    # 9.19 GB per instance) and the chained program OOMs HBM at
+    # compile. Patch-gathers are dead on this hardware generation;
+    # variant kept for the record, not run by default.
+    if args.only is not None and any(s in "warp_patch"
+                                     for s in args.only):
+        results["warp_patch"] = run(
+            "warp_patch",
+            lambda u, f, bx: jnp.sum(warp_patch(f + u, bx)))
     results["matmul_bf16"] = run(
         "matmul_bf16",
         lambda u, f, bx: jnp.sum(matmul_bf16(f + u, bx)))

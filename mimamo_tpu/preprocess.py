@@ -326,16 +326,21 @@ def warp_similarity(frames: jnp.ndarray, transforms: jnp.ndarray,
     Returns:
       [T, out_size, out_size, C] float32 aligned crops (edge-clamped).
 
-    Rotation makes the sampling non-separable, so this path uses one
-    vectorized gather per corner (4 total) instead of the matmul form of
+    Rotation makes the sampling non-separable, so this path gathers
+    four taps per output pixel instead of the matmul form of
     :func:`crop_and_resize`. MEASURED COST (v5e, 2026-08-19,
-    bench/crop_probe.py): ~190 ms per 384 frames (~2,020 f/s) — XLA's
-    per-pixel gather lowering is ~600x the matmul crop's real compute,
-    NOT "negligible" as previously claimed. It binds only when
-    alignment runs on-device faster than decode (the Python predict
-    path is decode-bound well below 2k f/s; the corpus path warps on
-    the host in C++); see BASELINE.md round-5 rows before putting this
-    op on a hot path.
+    bench/crop_probe.py): ~169 ms per 384 frames (~2,275 f/s) — XLA's
+    per-pixel gather lowering is ~500x the matmul crop's real compute,
+    NOT "negligible" as previously claimed. The tap gathers use
+    take_along_axis on the flattened H*W axis: +13% over advanced
+    indexing (190 ms), bit-exact. The closed alternatives (same probe):
+    bf16 gather values change nothing (op-overhead-bound, not bytes);
+    one lax.gather of [2,2,C] patches OOMs at compile (the gather
+    output gets a T(8,128)-padded layout, 42.7x expansion). This op
+    binds only when alignment runs on-device faster than decode (the
+    Python predict path is decode-bound well below 2k f/s; the corpus
+    path warps on the host in C++); see BASELINE.md round-5 rows
+    before putting it on a hot path.
     """
     t, h, w, _c = frames.shape
     x = frames.astype(jnp.float32)
@@ -363,10 +368,12 @@ def warp_similarity(frames: jnp.ndarray, transforms: jnp.ndarray,
     y1 = jnp.minimum(y0 + 1, h - 1)
     x1 = jnp.minimum(x0 + 1, w - 1)
 
-    ti = jnp.arange(t)[:, None, None]
+    flat = x.reshape(t, h * w, x.shape[-1])
 
-    def g(yy, xx):
-        return x[ti, yy, xx]                                # [T,S,S,C]
+    def g(yy, xx):                                      # [T,S,S,C]
+        idx = (yy * w + xx).reshape(t, out_size * out_size, 1)
+        return jnp.take_along_axis(flat, idx, axis=1).reshape(
+            t, out_size, out_size, x.shape[-1])
 
     top = g(y0, x0) * (1 - fx)[..., None] + g(y0, x1) * fx[..., None]
     bot = g(y1, x0) * (1 - fx)[..., None] + g(y1, x1) * fx[..., None]
