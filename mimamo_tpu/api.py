@@ -46,78 +46,19 @@ def _iter_crop_chunks(model, video_path: str,
     tracking even when alignment comes from a landmark sidecar (the
     two-step workflow persists boxes for provenance).
     """
-    from . import preprocess
-    cfg = model.config.clip
-    boxes_file = decode.load_boxes_file(video_path, boxes_path)
-    lm_src = (decode.landmark_source(video_path, landmarks_path)
-              if align else None)
-    params_all = None
-    if lm_src is not None and lm_src.lm.shape[1] > 2:
-        # Dense (Procrustes) alignment derives its template from the
-        # WHOLE landmark set; fitting per decode window would give each
-        # window a different template (seam jumps, decode_window-
-        # dependent crops). Fit once over the full sidecar (trimmed to
-        # max_frames), slice per window below. Landmark sidecars are
-        # tiny — this costs no meaningful memory. Convention (shared
-        # with corpus._python_one_video, parity-tested): template fit
-        # over the RAW sidecar rows; per-frame transforms hold-last
-        # past the sidecar's end when the video outruns a CSV.
-        lm_all = (lm_src.lm if max_frames is None
-                  else lm_src.lm[:max_frames])
-        params_all = preprocess.similarity_from_landmarks(
-            lm_all, cfg.crop_size)
-    tracker = eyes = None
+    # The whole sidecar/tracker/alignment convention lives in ONE
+    # place (decode.WindowParams), shared with corpus._python_one_video
+    # — the two hand-maintained copies had drifted before (round-5
+    # review finding).
+    wp = decode.WindowParams(video_path, model.config.clip.crop_size,
+                             boxes_path=boxes_path,
+                             landmarks_path=landmarks_path, align=align,
+                             max_frames=max_frames,
+                             want_boxes=want_boxes)
     for frames, start in decode.iter_video(video_path,
                                            window=decode_window,
                                            max_frames=max_frames):
-        n = frames.shape[0]
-        boxes = None
-        if boxes_file is not None:
-            if len(boxes_file) < start + n:
-                raise ValueError(
-                    f"boxes file: {len(boxes_file)} rows but the "
-                    f"video has at least {start + n} frames")
-            boxes = boxes_file[start:start + n]
-        lm = None
-        if boxes is None and (want_boxes
-                              or not (align and lm_src is not None)):
-            if tracker is None:
-                tracker = decode.BoxTracker(frames.shape[1],
-                                            frames.shape[2])
-            if align and lm_src is None:
-                # both trackers run on this window: share ONE gray
-                # conversion per frame (round-5 review finding)
-                if eyes is None:
-                    eyes = decode.EyeTracker()
-                boxes, lm = decode.track_boxes_and_eyes(frames, tracker,
-                                                        eyes)
-            else:
-                boxes = np.stack([tracker.update(f) for f in frames])
-        if align:
-            if lm_src is not None:
-                lm = lm_src.read(start, n)
-            elif lm is None:       # boxes came from a sidecar file
-                if eyes is None:
-                    eyes = decode.EyeTracker()
-                lm = np.stack([eyes.update(f, b)
-                               for f, b in zip(frames, boxes)])
-            if params_all is not None:       # dense: whole-video fit
-                if len(params_all) < start + n:
-                    # only reachable for hold-last-padded CSV sidecars
-                    # (npy would have raised in lm_src.read above)
-                    params = params_all[decode.hold_pad_indices(
-                        start, n, len(params_all))]
-                else:
-                    params = params_all[start:start + n]
-            else:                            # eye pairs: per-frame fit
-                params = preprocess.similarity_from_landmarks(
-                    lm, cfg.crop_size)
-        else:
-            params = boxes
-        # A LONGER boxes file is fine (max_frames-truncated runs — the
-        # landmarks path documents the same >= T allowance in
-        # decode.load_landmarks); a SHORTER one already raised above
-        # before any further decode work.
+        boxes, lm, params = wp.resolve(frames, start)
         yield (model.crop_video_chunked(frames, params, align=align),
                boxes, lm)
 

@@ -371,15 +371,12 @@ class CorpusRunner:
         from .io import decode
         from . import preprocess
         cfg = self.model.config.clip
-        boxes_file = decode.load_boxes_file(path)
-        lm_src = decode.landmark_source(path) if self.align else None
-        params_all = None
-        if lm_src is not None and lm_src.lm.shape[1] > 2:
-            # dense landmarks: one whole-sidecar Procrustes template
-            # fit (per-window fits would seam — api.py convention)
-            params_all = preprocess.similarity_from_landmarks(
-                lm_src.lm, cfg.crop_size)
-        tracker = eyes = None
+        # Sidecar/tracker/alignment resolution is decode.WindowParams —
+        # ONE definition shared with api._iter_crop_chunks so the
+        # streaming and corpus paths cannot drift (round-5 review
+        # finding; they had already diverged once on the hold-pad
+        # convention).
+        wp = decode.WindowParams(path, cfg.crop_size, align=self.align)
         buf = None               # rolling crop buffer [n, S, S, 3]
         buf_start = 0            # frame index of buf[0]
         next_start = 0           # next sliding-window start to emit
@@ -387,42 +384,8 @@ class CorpusRunner:
         for frames, start in decode.iter_video(path,
                                                window=decode_window):
             n = frames.shape[0]
-            boxes = lm = None
-            if boxes_file is not None:
-                if len(boxes_file) < start + n:
-                    raise ValueError(
-                        f"boxes file: {len(boxes_file)} rows but the "
-                        f"video has at least {start + n} frames")
-                boxes = boxes_file[start:start + n]
-            elif lm_src is None:      # sidecar landmarks need no boxes
-                if tracker is None:
-                    tracker = decode.BoxTracker(frames.shape[1],
-                                                frames.shape[2])
-                if self.align:
-                    # both trackers run: share ONE gray conversion per
-                    # frame (round-5 review finding; api._iter_crop_chunks
-                    # uses the same fused helper)
-                    if eyes is None:
-                        eyes = decode.EyeTracker()
-                    boxes, lm = decode.track_boxes_and_eyes(
-                        frames, tracker, eyes)
-                else:
-                    boxes = np.stack([tracker.update(f)
-                                      for f in frames])
+            boxes, _lm, params = wp.resolve(frames, start)
             if self.align:
-                if lm_src is not None:
-                    lm = lm_src.read(start, n)
-                elif lm is None:   # boxes came from a sidecar file
-                    if eyes is None:
-                        eyes = decode.EyeTracker()
-                    lm = np.stack([eyes.update(f, b)
-                                   for f, b in zip(frames, boxes)])
-                if params_all is not None:
-                    params = params_all[decode.hold_pad_indices(
-                        start, n, len(params_all))]
-                else:
-                    params = preprocess.similarity_from_landmarks(
-                        lm, cfg.crop_size)
                 crops = np.asarray(self.model.crop_video_chunked(
                     frames, params, align=True))
             else:
@@ -447,10 +410,10 @@ class CorpusRunner:
             if keep > buf_start:
                 buf = buf[keep - buf_start:]
                 buf_start = keep
-        if boxes_file is not None and len(boxes_file) != total:
+        if wp.boxes_file is not None and len(wp.boxes_file) != total:
             raise ValueError(
                 f"boxes file: expected shape {(total, 4)}, got "
-                f"{boxes_file.shape}")
+                f"{wp.boxes_file.shape}")
         if total < cfg.clip_len:
             # short video: one last-crop-padded clip (same contract as
             # the native loader; outputs trimmed in finalize)

@@ -131,7 +131,12 @@ def _predict_sequence(model: Mimamo, variables, crops: np.ndarray,
         p = _dp.dispatch(model.predict_stream, variables,
                          jnp.asarray(piece), carries)
         out, carries = p.value
-        outs.append(p.fetch(out[0, :n]))
+        # Fetch the tiny [1, chunk, 2] output WHOLE and slice on host:
+        # an eager device slice out[0, :n] is a distinct remote-compiled
+        # program per unique tail length AND an execution outside the
+        # in-flight cap (the api._stream_predict pattern; round-5
+        # review finding).
+        outs.append(np.asarray(p.fetch(out))[0, :n])
     return np.concatenate(outs, axis=0)
 
 

@@ -123,8 +123,9 @@ def hold_pad_indices(start: int, count: int, length: int) -> np.ndarray:
 
     THE hold-last padding convention for sidecars shorter than the
     decoded video (a video that outruns its OpenFace CSV repeats the
-    last row). One definition shared by :meth:`LandmarkSource.read`,
-    ``api._windowed_crop_pipeline`` and ``corpus._python_one_video`` —
+    last row). One definition shared by :meth:`LandmarkSource.read`
+    and :meth:`WindowParams.resolve` (which round 5 made the single
+    param resolver behind both the api streaming and corpus paths) —
     their streaming-vs-array parity is tested, so the convention must
     not drift between hand-maintained copies (round-4 review finding).
     """
@@ -672,3 +673,105 @@ def load_video_with_boxes(path: str,
         candidate = path + ".boxes.npy"
         boxes_path = candidate if os.path.exists(candidate) else None
     return frames, face_boxes(frames, boxes_path=boxes_path)
+
+
+class WindowParams:
+    """Stateful per-decode-window resolver of (boxes, landmarks, crop
+    params) — THE single definition of the sidecar/tracker/alignment
+    convention shared by ``api._iter_crop_chunks`` (streaming predict)
+    and ``corpus._python_one_video`` (corpus fallback), whose
+    streaming-vs-array parity is test-load-bearing. The two paths were
+    previously hand-maintained copies and had already diverged once on
+    the hold-pad convention (round-4 finding) before this class merged
+    them (round-5 review finding).
+
+    Construction resolves the sidecars once (boxes file, landmark
+    source, and — for dense landmark sets — ONE whole-sidecar
+    Procrustes template fit, trimmed to ``max_frames``: per-window
+    fits would give each window a different template, i.e. seam jumps
+    and decode_window-dependent crops). ``resolve(frames, start)`` is
+    then called per decode window, threading the box/eye trackers
+    across windows.
+
+    ``want_boxes`` forces box tracking even when alignment comes from
+    a landmark sidecar (the two-step workflow persists boxes for
+    provenance).
+    """
+
+    def __init__(self, video_path: str, crop_size: int,
+                 boxes_path: Optional[str] = None,
+                 landmarks_path: Optional[str] = None,
+                 align: bool = False,
+                 max_frames: Optional[int] = None,
+                 want_boxes: bool = False):
+        from .. import preprocess
+        self.align = align
+        self.want_boxes = want_boxes
+        self.crop_size = crop_size
+        self.boxes_file = load_boxes_file(video_path, boxes_path)
+        self.lm_src = (landmark_source(video_path, landmarks_path)
+                       if align else None)
+        self.params_all = None
+        if self.lm_src is not None and self.lm_src.lm.shape[1] > 2:
+            lm_all = (self.lm_src.lm if max_frames is None
+                      else self.lm_src.lm[:max_frames])
+            self.params_all = preprocess.similarity_from_landmarks(
+                lm_all, crop_size)
+        self._tracker = self._eyes = None
+
+    def resolve(self, frames: np.ndarray, start: int):
+        """[n, H, W, 3] frames at absolute frame index ``start`` ->
+        (boxes [n, 4] | None, landmarks [n, K, 2] | None, params).
+
+        ``params`` is what ``runner.crop_video_chunked`` consumes:
+        [n, 4] boxes when not aligning, [n, 2, 3] similarity
+        transforms when aligning. A boxes sidecar SHORTER than the
+        decoded video raises here, before further decode work; a
+        LONGER one is fine (max_frames-truncated runs — same >= T
+        allowance as load_landmarks). Landmark sidecars hold-pad past
+        their end (:func:`hold_pad_indices`).
+        """
+        from .. import preprocess
+        n = frames.shape[0]
+        boxes = lm = None
+        if self.boxes_file is not None:
+            if len(self.boxes_file) < start + n:
+                raise ValueError(
+                    f"boxes file: {len(self.boxes_file)} rows but the "
+                    f"video has at least {start + n} frames")
+            boxes = self.boxes_file[start:start + n]
+        elif self.want_boxes or not (self.align
+                                     and self.lm_src is not None):
+            if self._tracker is None:
+                self._tracker = BoxTracker(frames.shape[1],
+                                           frames.shape[2])
+            if self.align and self.lm_src is None:
+                # both trackers run on this window: share ONE gray
+                # conversion per frame (round-5 review finding)
+                if self._eyes is None:
+                    self._eyes = EyeTracker()
+                boxes, lm = track_boxes_and_eyes(frames, self._tracker,
+                                                 self._eyes)
+            else:
+                boxes = np.stack([self._tracker.update(f)
+                                  for f in frames])
+        if not self.align:
+            return boxes, None, boxes
+        if self.lm_src is not None:
+            lm = self.lm_src.read(start, n)
+        elif lm is None:           # boxes came from a sidecar file
+            if self._eyes is None:
+                self._eyes = EyeTracker()
+            lm = np.stack([self._eyes.update(f, b)
+                           for f, b in zip(frames, boxes)])
+        if self.params_all is not None:    # dense: whole-video fit
+            # hold_pad_indices == a plain slice while the sidecar
+            # covers the window; hold-last past its end (CSV sidecars
+            # shorter than the video — npy would have raised in
+            # lm_src.read above)
+            params = self.params_all[hold_pad_indices(
+                start, n, len(self.params_all))]
+        else:                              # eye pairs: per-frame fit
+            params = preprocess.similarity_from_landmarks(
+                lm, self.crop_size)
+        return boxes, lm, params

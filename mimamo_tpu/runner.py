@@ -425,17 +425,32 @@ class Mimamo:
             out = p.fetch()
             preds.append(out[:keep] if keep < out.shape[0] else out)
 
-        for win, keep in batches:
-            p = _dp.dispatch(self.predict_clips, variables, win,
-                             _block=pending is None)
-            if p is None:                      # budget contended
-                fetch(*pending)
-                pending = None
-                p = _dp.dispatch(self.predict_clips, variables, win)
+        # The new dispatch is stored in `pending` BEFORE the previous
+        # one is fetched, and the whole pipeline releases the held
+        # Pending on the way out: a fetch that raises (tunnel error,
+        # OOM) while a slot is held would otherwise permanently shrink
+        # — and on the second failure deadlock — the process-wide
+        # dispatch budget shared with the serve daemon (round-5 review
+        # finding; same class as corpus.run's finally).
+        try:
+            for win, keep in batches:
+                p = _dp.dispatch(self.predict_clips, variables, win,
+                                 _block=pending is None)
+                if p is None:                  # budget contended
+                    fetch(*pending)
+                    pending = None
+                    p = _dp.dispatch(self.predict_clips, variables, win)
+                    prev = None
+                else:
+                    prev = pending
+                pending = (p, keep)
+                if prev is not None:
+                    fetch(*prev)               # Pending.fetch releases
+            fetch(*pending)
+            pending = None
+        finally:
             if pending is not None:
-                fetch(*pending)
-            pending = (p, keep)
-        fetch(*pending)
+                pending[0].release()           # idempotent
         merged = preprocess.merge_window_predictions(
             np.concatenate(preds, axis=0), starts,
             max(t_real, cfg.clip_len))
@@ -476,32 +491,46 @@ class Mimamo:
         from . import dispatch as _dp
 
         def settle_collect(pend, n):
-            jax.device_get(pend.value[:1, :1, :1, :1])
-            pend.release()
+            try:
+                jax.device_get(pend.value[:1, :1, :1, :1])
+            finally:
+                # a probe fetch that raises must still free the slot
+                # (round-5 review finding: a leaked slot permanently
+                # shrinks the process-wide budget the serve daemon
+                # shares)
+                pend.release()
             # full chunks are appended as-is: no eager slice op at all
             pieces.append(pend.value[:n] if n < chunk else pend.value)
 
         pending = None                          # (Pending, real_count)
-        for s in range(0, t, chunk):
-            f = np.asarray(frames_rgb[s:s + chunk])
-            p = np.asarray(params[s:s + chunk])
-            n = f.shape[0]
-            if n < chunk:
-                f = np.concatenate(
-                    [f, np.repeat(f[-1:], chunk - n, axis=0)])
-                p = np.concatenate(
-                    [p, np.repeat(p[-1:], chunk - n, axis=0)])
-            fd, pd = jnp.asarray(f), jnp.asarray(p)
-            pend = _dp.dispatch(crop_fn, None, fd, pd,
-                                _block=pending is None)
-            if pend is None:                    # budget contended
-                settle_collect(*pending)
-                pending = None
-                pend = _dp.dispatch(crop_fn, None, fd, pd)
-            elif pending is not None:
-                settle_collect(*pending)
-            pending = (pend, n)
-        settle_collect(*pending)
+        try:
+            for s in range(0, t, chunk):
+                f = np.asarray(frames_rgb[s:s + chunk])
+                p = np.asarray(params[s:s + chunk])
+                n = f.shape[0]
+                if n < chunk:
+                    f = np.concatenate(
+                        [f, np.repeat(f[-1:], chunk - n, axis=0)])
+                    p = np.concatenate(
+                        [p, np.repeat(p[-1:], chunk - n, axis=0)])
+                fd, pd = jnp.asarray(f), jnp.asarray(p)
+                pend = _dp.dispatch(crop_fn, None, fd, pd,
+                                    _block=pending is None)
+                if pend is None:                # budget contended
+                    settle_collect(*pending)
+                    pending = None
+                    pend = _dp.dispatch(crop_fn, None, fd, pd)
+                    prev = None
+                else:
+                    prev = pending
+                pending = (pend, n)
+                if prev is not None:
+                    settle_collect(*prev)
+            settle_collect(*pending)
+            pending = None
+        finally:
+            if pending is not None:
+                pending[0].release()            # idempotent
         if len(pieces) == 1:
             return pieces[0]
         return _dp.run_settled(jnp.concatenate, pieces, axis=0)

@@ -290,7 +290,29 @@ def run(server: Server, fin: Optional[TextIO] = None,
                 emit({"ok": False, "error": f"bad request line: {e}"})
                 continue
             if pool is not None and req.get("cmd") == "predict":
-                pool.submit(lambda r=req: emit(server.handle(r)))
+                # server.handle never raises, but emit itself can
+                # (broken pipe, non-serializable value): a swallowed
+                # worker exception would leave the client blocked
+                # forever on its id (round-5 review finding) — surface
+                # it with a best-effort error line + stderr log.
+                def _done(fut, rid=req.get("id")):
+                    exc = fut.exception()
+                    if exc is None:
+                        return
+                    print(f"serve: async predict response failed: "
+                          f"{type(exc).__name__}: {exc}",
+                          file=sys.stderr, flush=True)
+                    try:
+                        err = {"ok": False,
+                               "error": f"response write failed: {exc}"}
+                        if rid is not None:
+                            err["id"] = rid
+                        emit(err)
+                    except Exception:  # noqa: BLE001 - pipe truly dead
+                        pass
+                pool.submit(
+                    lambda r=req: emit(server.handle(r))
+                ).add_done_callback(_done)
                 continue
             resp = server.handle(req)
             emit(resp)

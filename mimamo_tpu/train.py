@@ -89,7 +89,13 @@ def create_train_state(model: Mimamo, rng: jax.Array,
                        variables: Optional[Dict[str, Any]] = None
                        ) -> Tuple[TrainState, optax.GradientTransformation]:
     tx = tx or make_optimizer(model.config)
-    variables = variables or model.init_variables(rng)
+    if variables is None:
+        # jitted: eager init traces the full ResNet-50 + temporal init
+        # op-by-op, and on the axon tunnel every eager op is a separate
+        # minutes-long remote compile (CLAUDE.md). Every --ckpt entry
+        # point (eval/predict-corpus/serve startup) pays this before
+        # restore() even overwrites the values (round-5 review finding).
+        variables = jax.jit(model.init_variables)(rng)
     params, stats = _split_variables(variables)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       batch_stats=stats,
