@@ -490,3 +490,56 @@ class TestStreamAblationRunner:
             s2, m2 = step(s1, batch)
             assert np.isfinite(float(m2["loss"])), streams
             assert float(m2["loss"]) < float(m1["loss"]) + 1e-6, streams
+
+
+class TestPipelineSlotRelease:
+    """A fetch that raises mid-pipeline must not leak a dispatch slot.
+
+    The in-flight budget (mimamo_tpu.dispatch) is process-wide and
+    shared with the serve daemon: a slot leaked on a tunnel/OOM error
+    would permanently shrink it to depth-1, and a second failure would
+    deadlock every later caller (round-5 review finding; the fix wraps
+    both depth-2 pipelines in try/finally + release)."""
+
+    @staticmethod
+    def _assert_budget_intact():
+        from mimamo_tpu import dispatch as _dp
+        assert _dp.inflight() == 0
+        # both slots must still be acquirable (BoundedSemaphore would
+        # raise on over-release; None here would mean a leaked slot)
+        a = _dp.dispatch(jnp.add, jnp.ones(()), jnp.ones(()))
+        b = _dp.dispatch(jnp.add, jnp.ones(()), jnp.ones(()),
+                         _block=False)
+        assert b is not None
+        a.release()
+        b.release()
+
+    def test_predict_from_crops_releases_on_fetch_failure(
+            self, model_and_vars, monkeypatch):
+        model, variables = model_and_vars
+        crops = np.asarray(_clips(b=1, t=15)[0])  # 4 windows
+
+        def boom(*a, **k):
+            raise RuntimeError("tunnel dropped")
+
+        monkeypatch.setattr(jax, "device_get", boom)
+        with pytest.raises(RuntimeError, match="tunnel dropped"):
+            model.predict_from_crops(variables, crops, batch_clips=1)
+        monkeypatch.undo()
+        self._assert_budget_intact()
+
+    def test_crop_video_chunked_releases_on_fetch_failure(
+            self, model_and_vars, monkeypatch):
+        model, _ = model_and_vars
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 255, (10, 48, 48, 3), dtype=np.uint8)
+        boxes = np.tile(np.array([8, 8, 40, 40], np.float32), (10, 1))
+
+        def boom(*a, **k):
+            raise RuntimeError("tunnel dropped")
+
+        monkeypatch.setattr(jax, "device_get", boom)
+        with pytest.raises(RuntimeError, match="tunnel dropped"):
+            model.crop_video_chunked(frames, boxes, chunk=4)
+        monkeypatch.undo()
+        self._assert_budget_intact()
