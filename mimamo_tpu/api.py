@@ -172,8 +172,11 @@ class FeatureExtractor:
         import jax
         self.model = Mimamo(config or MimamoConfig())
         self.batch = batch_size
-        self.variables = variables or jax.jit(
-            self.model.init_variables)(jax.random.PRNGKey(0))
+        from . import dispatch as _dp
+        # capped + probe-synced init: an unsynced async init execution
+        # next to a depth-2 pipeline is 3 outstanding -> tunnel wedge
+        self.variables = variables or _dp.run_settled(jax.jit(
+            self.model.init_variables), jax.random.PRNGKey(0))
         # One compiled program per batch (eager ops are minutes-per-op
         # on the TPU tunnel — CLAUDE.md); fixed batch => one compile.
         # Always the per-frame program: appearance_stride is handled
@@ -245,8 +248,9 @@ class MimamoAPI:
             state = checkpoints.restore(checkpoint_dir, state)
             self.variables = train.variables_from_state(state)
         else:
-            self.variables = jax.jit(
-                self.model.init_variables)(jax.random.PRNGKey(0))
+            from . import dispatch as _dp
+            self.variables = _dp.run_settled(jax.jit(
+                self.model.init_variables), jax.random.PRNGKey(0))
 
     def predict(self, video_path: str, out_csv: Optional[str] = None,
                 boxes_path: Optional[str] = None,

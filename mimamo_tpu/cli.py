@@ -601,8 +601,9 @@ def cmd_convert(args) -> int:
                       f"way, but reference parity uses the meta size",
                       file=sys.stderr)
     model = Mimamo(config)
-    variables = dict(jax.jit(model.init_variables)(
-        jax.random.PRNGKey(0)))
+    from . import dispatch as _dp
+    variables = dict(_dp.run_settled(jax.jit(model.init_variables),
+                                     jax.random.PRNGKey(0)))
     strict = not args.no_strict
     if args.backbone_pth:
         from . import backbone as backbone_mod

@@ -97,11 +97,18 @@ def run_settled(fn: Callable, *args, **kwargs):
     capped program dispatches (round-4 review finding on
     ``runner.crop_video_chunked``). ``block_until_ready`` is a no-op
     on the tunnel (CLAUDE.md), hence the probe fetch.
+
+    ``fn`` may return a pytree (e.g. a jitted ``init_variables`` — the
+    round-5 review moved every startup init under the cap); the probe
+    fetches one element of the FIRST leaf, which syncs the whole
+    single-program execution.
     """
     p = dispatch(fn, *args, **kwargs)
     v = p.value
     try:
-        jax.device_get(v[tuple(slice(0, 1) for _ in range(v.ndim))])
+        leaf = jax.tree_util.tree_leaves(v)[0]
+        jax.device_get(leaf[tuple(slice(0, 1)
+                                  for _ in range(leaf.ndim))])
     finally:
         p.release()
     return v

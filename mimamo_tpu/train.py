@@ -95,7 +95,11 @@ def create_train_state(model: Mimamo, rng: jax.Array,
         # minutes-long remote compile (CLAUDE.md). Every --ckpt entry
         # point (eval/predict-corpus/serve startup) pays this before
         # restore() even overwrites the values (round-5 review finding).
-        variables = jax.jit(model.init_variables)(rng)
+        # run_settled: the init program counts against the process-wide
+        # in-flight cap and is synced before any pipeline dispatches
+        # next to it (round-5 review finding #2).
+        from . import dispatch as _dp
+        variables = _dp.run_settled(jax.jit(model.init_variables), rng)
     params, stats = _split_variables(variables)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       batch_stats=stats,

@@ -106,6 +106,19 @@ class TestRunSettled:
             dispatch.run_settled(lambda: object())   # no .ndim
         assert dispatch.inflight() == before
 
+    def test_pytree_result(self):
+        """Pytree results (e.g. jitted init_variables) sync via a
+        first-leaf probe and free their slot (round-5: every startup
+        init routed through run_settled)."""
+        import jax.numpy as jnp
+        before = dispatch.inflight()
+        out = dispatch.run_settled(
+            lambda: {"a": jnp.ones((2, 2)), "b": jnp.zeros(3)})
+        assert dispatch.inflight() == before
+        assert set(out) == {"a", "b"}
+        np.testing.assert_array_equal(np.asarray(out["a"]),
+                                      np.ones((2, 2)))
+
 
 class TestConcurrentCallers:
     def test_three_concurrent_device_callers(self):
